@@ -1,0 +1,44 @@
+"""FASTA reader (multi-line, gzip-transparent).
+
+ref: sigfish uses klib kseq (src/genref.c:18-19, src/kseq.h) to stream
+contigs; here a simple buffered parser returning (name, sequence) pairs.
+Sequence case and non-ACGT bases are preserved -- downstream k-mer ranking
+handles them exactly like the reference (ref src/ref.h:13-41).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, Tuple
+
+
+def _open_maybe_gz(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    """Yield (name, seq). Name is the first whitespace-delimited token,
+    matching kseq semantics (seq->name.s)."""
+    name = None
+    chunks: list[str] = []
+    with _open_maybe_gz(path) as fp:
+        for line in fp:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            if line.startswith(">") or line.startswith("@"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                chunks = []
+            elif line.startswith("+") and name is not None and chunks:
+                # FASTQ quality section: kseq skips it; minimal handling
+                continue
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield name, "".join(chunks)

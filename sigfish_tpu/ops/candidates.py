@@ -1,0 +1,114 @@
+"""Candidate extraction and ranking from sDTW last-row scores.
+
+ref: sigfish src/sigfish.c
+  - window scan (sigfish.c:891-900,936-948): the last DP row of each
+    (contig, strand) track is scanned in non-overlapping windows of width
+    qlen; the per-window argmin (strict <, first-min-wins) is a candidate.
+    The final window may be truncated at the track end.
+  - update_aln (sigfish.c:575-626): an ascending 5-slot list keyed by
+    score; on ties the newer candidate ranks better. Only the best
+    alignment is printed and only the runner-up score (d2) is consumed
+    (SECONDARY_CAP exists to compute d2, ref sigfish.h:41), so ranking
+    reduces to a top-2 by (score asc, insertion-order desc).
+  - '-' strand coordinates flipped pos = rlen - pos (sigfish.c:971-972),
+    ref_st_offset added for RNA truncated tracks (sigfish.c:974-975).
+  - mapq = round(500*(d2-d1)/d1) clamped to 60 (sigfish.c:979-983).
+
+Candidate insertion order is contig-major, '+' strand windows
+left-to-right then '-' strand windows (dtw_single loop structure,
+sigfish.c:870-964) -- preserved here because it decides ties.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Alignment:
+    rid: int = -1
+    pos_st: int = -1
+    pos_end: int = -1
+    score: float = float("inf")
+    score2: float = float("inf")
+    d: str = "+"
+    mapq: int = 0
+    # position of the best end within the concatenated device track and
+    # which track it was (for backtracking)
+    track_idx: int = -1
+    track_pos_end: int = -1
+
+
+def window_argmin(scores: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-window (min, argmin) with first-min-wins over a 1-D track.
+
+    ref: sigfish.c:891-900. Returns (mins, argmins) where argmins are
+    positions within the track.
+    """
+    n = scores.size
+    if n == 0 or width <= 0:
+        return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.int64)
+    nwin = (n + width - 1) // width
+    pad = nwin * width - n
+    if pad:
+        padded = np.concatenate([scores, np.full(pad, np.inf, dtype=scores.dtype)])
+    else:
+        padded = scores
+    w = padded.reshape(nwin, width)
+    arg = w.argmin(axis=1)  # numpy argmin = first occurrence = strict < scan
+    mins = w[np.arange(nwin), arg]
+    return mins.astype(np.float32), arg + np.arange(nwin, dtype=np.int64) * width
+
+
+def window_argmin_batch(scores: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batched version over (B, n) scores, same semantics per row."""
+    B, n = scores.shape
+    nwin = (n + width - 1) // width
+    pad = nwin * width - n
+    if pad:
+        padded = np.concatenate(
+            [scores, np.full((B, pad), np.inf, dtype=scores.dtype)], axis=1
+        )
+    else:
+        padded = scores
+    w = padded.reshape(B, nwin, width)
+    arg = w.argmin(axis=2)
+    mins = np.take_along_axis(w, arg[:, :, None], axis=2)[:, :, 0]
+    return mins.astype(np.float32), arg + np.arange(nwin, dtype=np.int64)[None, :] * width
+
+
+def rank_candidates(
+    cand_scores: np.ndarray, cand_pos: np.ndarray
+) -> tuple[int, float, float]:
+    """Top-2 with update_aln tie semantics (later candidate wins ties).
+
+    Returns (best_index_into_candidates, d1, d2). Candidates must be in
+    insertion order. ref: update_aln sigfish.c:575-583.
+    """
+    if cand_scores.size == 0:
+        return -1, float("inf"), float("inf")
+    # best: smallest score; ties -> latest insertion
+    rev = cand_scores[::-1]
+    best_rev = int(np.argmin(rev))  # first occurrence in reversed = latest
+    best = cand_scores.size - 1 - best_rev
+    d1 = float(cand_scores[best])
+    if cand_scores.size == 1:
+        return best, d1, float("inf")
+    rest = np.delete(cand_scores, best)
+    rrev = rest[::-1]
+    d2 = float(rrev[np.argmin(rrev)])
+    return best, d1, d2
+
+
+def compute_mapq(d1: float, d2: float) -> int:
+    """ref: sigfish.c:979-983."""
+    if not np.isfinite(d2) or d1 == 0:
+        return 60
+    mapq = int(round(500.0 * (d2 - d1) / d1))
+    if mapq > 60:
+        mapq = 60
+    if mapq < 0:
+        mapq = 0
+    return mapq

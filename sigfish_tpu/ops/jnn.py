@@ -1,0 +1,225 @@
+"""Adaptor / polyA segmentation for direct-RNA query-start autodetection.
+
+ref: sigfish src/jnn.c, src/jnn.h
+  - jnnv2 adaptor finder (jnn.c:100-180): outlier clamp to [0, 1200]
+    (jnn.c:18-19), rolling mean window 2000, threshold mean - scale*std,
+    segment merge within seg_dist, [lo_thresh, hi_thresh] length filter,
+    +window/2-1 offset on the accepted segment.
+  - jnn_core error-tolerant in-range run detector (jnn.c:191-279),
+    SquiggleKit-derived; used for polyA with absolute band top/bot.
+  - find_adaptor (jnn.c:182-189) runs jnnv2 on the RAW int16 signal;
+    find_polya (jnn.c:354-376) runs jnn_core on pA floats.
+  - detect_query_start (src/sigfish.c:380-422): adaptor -> mean of adaptor
+    current -> polyA band mean+30+/-20 -> first event at/after polyA end.
+
+Parameters ref src/jnn.h:30-99.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+OUTLIER_MAX = 1200.0
+OUTLIER_MIN = 0.0
+
+
+@dataclass(frozen=True)
+class JnnV2Param:
+    std_scale: float
+    seg_dist: int
+    window: int
+    hi_thresh: int
+    lo_thresh: int
+
+
+@dataclass(frozen=True)
+class JnnParam:
+    std_scale: float
+    corrector: int
+    seg_dist: int
+    window: int
+    stall_len: float
+    error: int
+    top: float = 0.0
+    bot: float = 0.0
+
+
+# ref jnn.h:85-99
+JNNV2_RNA_R9_ADAPTOR = JnnV2Param(std_scale=0.5, seg_dist=1500, window=2000, hi_thresh=200000, lo_thresh=2000)
+JNNV2_RNA_RNA004_ADAPTOR = JnnV2Param(std_scale=0.7, seg_dist=1500, window=2000, hi_thresh=200000, lo_thresh=500)
+# ref jnn.h:53-73
+JNNV1_R9_POLYA = JnnParam(std_scale=-1, corrector=50, seg_dist=200, window=250, stall_len=1.0, error=30)
+JNNV1_RNA004_POLYA = JnnParam(std_scale=-1, corrector=50, seg_dist=200, window=250, stall_len=1.0, error=30)
+
+PORE_R9 = 0
+PORE_R10 = 1
+PORE_RNA004 = 2
+
+
+def _rm_outlier(x: np.ndarray) -> np.ndarray:
+    return np.clip(x.astype(np.float64), OUTLIER_MIN, OUTLIER_MAX)
+
+
+def _rolling_mean(x: np.ndarray, w: int) -> np.ndarray:
+    """Mean of x[i:i+w] for i in [0, n-w). ref jnn.c:21-57 (running sum).
+
+    Computed via float64 cumsum (the reference uses a float32 running
+    accumulator; drift is < 1e-2 in t-units -- documented deviation).
+    """
+    c = np.zeros(x.size + 1, dtype=np.float64)
+    np.cumsum(x, out=c[1:])
+    return (c[w:] - c[: x.size - w + 1])[: x.size - w] / w
+
+
+def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
+    """Adaptor segment finder on raw ADC samples. ref jnn.c:100-180.
+
+    Returns (x, y) raw-sample pair; (0, 0) when nothing found, (-1, -1)
+    when the signal is shorter than the rolling window.
+    """
+    n = sig_raw.size
+    if n <= param.window:
+        return (-1, -1)
+    t = _rolling_mean(_rm_outlier(sig_raw), param.window)
+    mn = float(np.mean(t))
+    std = float(np.std(t))
+    bot = mn - std * param.std_scale
+
+    below = t < bot
+    segs: list[list[int]] = []
+    begin = False
+    start = 0
+    end = 0
+    for j in range(t.size):
+        if below[j] and not begin:
+            start = j
+            begin = True
+        elif below[j]:
+            end = j
+        elif begin:
+            if segs and start - segs[-1][1] < param.seg_dist:
+                segs[-1][1] = end
+            else:
+                segs.append([start, end])
+            start = 0
+            end = 0
+            begin = False
+
+    for a, b in segs:
+        if b - a > param.hi_thresh or b - a < param.lo_thresh:
+            continue
+        return (a + param.window // 2 - 1, b + param.window // 2 - 1)
+    return (0, 0)
+
+
+def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
+    """Error-tolerant in-range run detector. Exact port of jnn.c:191-279."""
+    if param.std_scale > 0:
+        mn = float(np.mean(sig))
+        std = float(np.std(sig))
+        top = mn + std * param.std_scale
+        bot = mn - std * param.std_scale
+    else:
+        top = param.top
+        bot = param.bot
+
+    prev = False
+    err = 0
+    prev_err = 0
+    c = 0
+    w = param.corrector
+    seg_dist = param.seg_dist
+    start = 0
+    window = param.window
+    error = param.error
+    stall_len = param.stall_len
+
+    segs: list[list[int]] = []
+    in_range = (sig < top) & (sig > bot)
+    for i in range(sig.size):
+        if in_range[i]:
+            if not prev:
+                start = i
+                prev = True
+            c += 1
+            w += 1
+            if prev_err:
+                prev_err = 0
+            if c >= window and c >= w and not (c % w):
+                err -= 1
+        else:
+            if prev and err < error:
+                c += 1
+                err += 1
+                prev_err += 1
+                if c >= window and c >= w and not (c % w):
+                    err -= 1
+            elif prev and (c >= window or (not segs and c >= window * stall_len)):
+                end = i - prev_err
+                prev = False
+                if segs and start - segs[-1][1] < seg_dist:
+                    segs[-1][1] = end
+                else:
+                    segs.append([start, end])
+                c = 0
+                err = 0
+                prev_err = 0
+            elif prev:
+                prev = False
+                c = 0
+                err = 0
+                prev_err = 0
+    return [(a, b) for a, b in segs]
+
+
+def find_adaptor(raw_signal: np.ndarray, pore: int = PORE_R9) -> tuple[int, int]:
+    """ref jnn.c:182-189 (operates on the raw int16 samples)."""
+    param = JNNV2_RNA_RNA004_ADAPTOR if pore == PORE_RNA004 else JNNV2_RNA_R9_ADAPTOR
+    return jnnv2(raw_signal, param)
+
+
+def find_polya(signal_pa: np.ndarray, top: float, bot: float, pore: int = PORE_R9) -> tuple[int, int]:
+    """ref jnn.c:354-376 (first qualifying segment, absolute band)."""
+    param = JNNV1_RNA004_POLYA if pore == PORE_RNA004 else JNNV1_R9_POLYA
+    param = JnnParam(
+        std_scale=param.std_scale,
+        corrector=param.corrector,
+        seg_dist=param.seg_dist,
+        window=param.window,
+        stall_len=param.stall_len,
+        error=param.error,
+        top=top,
+        bot=bot,
+    )
+    segs = jnn_core(_rm_outlier(signal_pa), param)
+    if segs:
+        return segs[0]
+    return (-1, -1)
+
+
+def detect_query_start(
+    raw_signal: np.ndarray,
+    signal_pa: np.ndarray,
+    event_starts: np.ndarray,
+    pore: int = PORE_R9,
+) -> int:
+    """Autodetect the first query event after the polyA tail (RNA, -p -1).
+
+    ref src/sigfish.c:380-422. Returns -1 on failure.
+    """
+    ax, ay = find_adaptor(raw_signal, pore)
+    n = raw_signal.size
+    if ay <= 0:
+        return -1
+    assert ay < n
+    m_a = float(np.mean(signal_pa[ax:ay].astype(np.float32)))
+    px, py = find_polya(signal_pa[ay:], m_a + 30 + 20, m_a + 30 - 20, pore)
+    if py <= 0:
+        return -1
+    py = py + ay
+    i = int(np.searchsorted(event_starts.astype(np.int64), py, side="left"))
+    if i >= event_starts.size:
+        return -1
+    return i

@@ -1,0 +1,517 @@
+"""The dtw pipeline: stream BLOW5 batches, map on device, emit PAF/SAM.
+
+Stage decomposition mirrors the reference's per-read pipeline
+(work_per_single_read, src/sigfish.c:995-1001) but splits host/device:
+
+  load_db       host   sequential raw-record fetch (src/sigfish.c:274)
+  parse/event/
+  normalise     host   per read, embarrassingly parallel (thread pool /
+                       C++ ext), ref parse_single/event_single/
+                       normalise_single (sigfish.c:317-505)
+  sDTW          DEVICE one batched column scan over all (contig,strand)
+                       tracks for the whole read batch (ops/sdtw.py),
+                       replacing the reference's per-read per-contig
+                       scalar DP (sigfish.c:870-964)
+  candidates    host   window argmin + top-2 + backtrack window recompute
+  output        host   PAF/SAM strings in batch order (sigfish.c:1051)
+
+The reference's pthread work-stealing (src/thread.c) maps to: host stages
+on a thread pool; device stage batched data-parallel (and sharded over a
+Mesh, see parallel/).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..io.blow5 import Slow5File, Slow5Record
+from ..models.genref import RefSynth, gen_ref
+from ..models.pore_model import (
+    MODEL_ID_DNA_R10,
+    MODEL_ID_DNA_R9,
+    MODEL_ID_RNA_R9,
+    MODEL_ID_RNA_RNA004,
+    PoreModel,
+    load_builtin_model,
+    read_model_tsv,
+)
+from ..ops import jnn
+from ..ops.candidates import (
+    Alignment,
+    compute_mapq,
+    rank_candidates,
+    window_argmin,
+    window_argmin_batch,
+)
+from ..ops.events import get_events
+from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
+from ..ops.sdtw_ref import path_to_map, subsequence_cost_seeded, subsequence_path
+from ..output import paf_line, sam_line
+from ..utils import log_info, log_verbose, log_warning
+
+PORE_R9 = 0
+PORE_R10 = 1
+PORE_RNA004 = 2
+
+
+@dataclass
+class Options:
+    """User options. ref: opt_t sigfish.h:121-139 + init_opt sigfish.c:1122-1144."""
+
+    batch_size: int = 512
+    batch_size_bytes: int = 20 * 1000 * 1000
+    num_thread: int = 8
+    prefix_size: int = 50
+    query_size: int = 250
+    rna: bool = False
+    dtw_std: bool = False
+    invert: bool = False
+    secondary: bool = False
+    full_ref: bool = False
+    from_end: bool = False
+    sam: bool = False
+    pore: str | None = None  # None = auto
+    pore_flag: int = PORE_R9
+    model_file: str | None = None
+    debug_break: int = -1
+    profile: bool = False
+    ckpt: int = 512
+    use_pallas: bool | None = None  # None = auto (TPU yes, CPU no)
+
+
+@dataclass
+class BatchStats:
+    n_rec: int = 0
+    sum_bytes: int = 0
+    prefix_fail: int = 0
+    ignored: int = 0
+    too_short: int = 0
+
+
+class Core:
+    """Static state. ref: core_t sigfish.h:202-244 + init_core sigfish.c:81-207."""
+
+    def __init__(self, fasta_path: str, slow5_path: str, opt: Options):
+        self.opt = opt
+        self.sf = Slow5File(slow5_path)
+
+        # --- auto-detection from the SLOW5 header
+        # ref: drna_detect / pore_detect sigfish.c:27-77,118-135
+        exp = self.sf.header_get("experiment_type", 0)
+        if exp is None:
+            log_warning("experiment_type not found in SLOW5 header. Assuming genomic_dna")
+        elif exp == "rna" and not opt.rna:
+            opt.rna = True
+            log_verbose("Detected RNA data. --rna was set automatically.")
+        elif exp not in ("genomic_dna", "rna"):
+            log_warning(f"Unknown experiment type: {exp}. Assuming genomic_dna")
+
+        if opt.pore is None:
+            kit = self.sf.header_get("sequencing_kit", 0)
+            if kit is None:
+                log_warning("sequencing_kit not found in SLOW5 header. Assuming R9.4.1")
+            elif "114" in kit:
+                opt.pore_flag = PORE_R10
+                log_verbose("Detected R10 data. --pore r10 was set automatically.")
+                if opt.rna:
+                    raise SystemExit("R10 RNA data does not exist! But header indicates R10 RNA.")
+            elif "rna004" in kit:
+                opt.pore_flag = PORE_RNA004
+                log_verbose("Detected RNA004 data. --pore rna004 was set automatically.")
+        else:
+            opt.pore_flag = {"r9": PORE_R9, "r10": PORE_R10, "rna004": PORE_RNA004}[opt.pore]
+
+        # --- model
+        if opt.model_file:
+            self.model: PoreModel = read_model_tsv(opt.model_file)
+        else:
+            if opt.rna:
+                mid = MODEL_ID_RNA_RNA004 if opt.pore_flag == PORE_RNA004 else MODEL_ID_RNA_R9
+                log_info(
+                    "builtin RNA004 nucleotide model loaded"
+                    if opt.pore_flag == PORE_RNA004
+                    else "builtin RNA R9 nucleotide model loaded"
+                )
+            else:
+                mid = MODEL_ID_DNA_R10 if opt.pore_flag == PORE_R10 else MODEL_ID_DNA_R9
+                log_info(
+                    "builtin DNA R10 nucleotide model loaded"
+                    if opt.pore_flag == PORE_R10
+                    else "builtin DNA R9 nucleotide model loaded"
+                )
+            self.model = load_builtin_model(mid)
+        self.kmer_size = self.model.kmer_size
+
+        # --- synthesized reference
+        self.ref: RefSynth = gen_ref(
+            fasta_path,
+            self.model,
+            rna=opt.rna,
+            full_ref=opt.full_ref,
+            from_end=opt.from_end,
+            invert=opt.invert,
+            query_size=opt.query_size,
+        )
+
+        # --- device track layout: contig-major, '+' then '-' per contig
+        # (candidate insertion order decides ties, ref sigfish.c:870-964)
+        tracks: list[np.ndarray] = []
+        self.track_meta: list[tuple[int, str]] = []  # (rid, strand)
+        for j in range(self.ref.num_ref):
+            tracks.append(self.ref.forward[j])
+            self.track_meta.append((j, "+"))
+            if self.ref.reverse is not None:
+                tracks.append(self.ref.reverse[j])
+                self.track_meta.append((j, "-"))
+        ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt)
+        self.tracks = tracks
+        self.ref_cat = ref_cat
+        self.reset = reset
+        self.track_offsets = offsets
+        self.ref_cat_dev = jnp.asarray(ref_cat)
+        self.reset_dev = jnp.asarray(reset)
+
+        # counters (ref core_t)
+        self.total_reads = 0
+        self.sum_bytes = 0
+        self.prefix_fail = 0
+        self.ignored = 0
+        self.too_short = 0
+        self.load_db_time = 0.0
+        self.process_db_time = 0.0
+        self.output_time = 0.0
+        self.parse_time = 0.0
+        self.event_time = 0.0
+        self.normalise_time = 0.0
+        self.dtw_time = 0.0
+
+        self._pool: _fut.ThreadPoolExecutor | None = None
+        if opt.num_thread > 1:
+            self._pool = _fut.ThreadPoolExecutor(max_workers=opt.num_thread)
+
+    def close(self) -> None:
+        self.sf.close()
+        if self._pool:
+            self._pool.shutdown()
+
+
+@dataclass
+class ReadWork:
+    """Per-read transient state (one slot of db_t, ref sigfish.h:161-197)."""
+
+    rec: Slow5Record | None = None
+    event_start: np.ndarray | None = None
+    event_length: np.ndarray | None = None
+    event_mean: np.ndarray | None = None
+    n_events: int = 0
+    qstart: int = 0
+    qend: int = 0
+    query: np.ndarray | None = None  # z-scored (and RNA-reversed) slice
+    out: str | None = None
+    skip: bool = False  # len_raw_signal==0 or ignored
+    # per-read counter flags, tallied by the main thread (avoids races)
+    flag_prefix_fail: bool = False
+    flag_ignored: bool = False
+    flag_too_short: bool = False
+
+
+def _prepare_read(core: Core, blob: bytes) -> ReadWork:
+    """parse + event + normalise for one read.
+
+    ref: parse_single/event_single/normalise_single sigfish.c:317-505.
+    """
+    opt = core.opt
+    w = ReadWork()
+    rec = core.sf.decode_record(blob)
+    w.rec = rec
+    if rec.len_raw_signal <= 0:
+        w.skip = True
+        return w
+
+    pa = rec.to_pa()
+    et = get_events(pa, rna=opt.rna)
+    w.event_start = et.start
+    w.event_length = et.length
+    w.event_mean = et.mean.copy()
+    w.n_events = et.n
+    if et.n <= 0:
+        w.skip = True
+        return w
+
+    n = et.n
+    if not opt.from_end:
+        start_idx = opt.prefix_size
+        if opt.prefix_size < 0:
+            start_idx = jnn.detect_query_start(
+                rec.raw_signal, pa, et.start, pore=opt.pore_flag
+            )
+            if start_idx < 0:
+                w.flag_prefix_fail = True
+                start_idx = 50  # fall back, ref sigfish.c:440-447
+        end_idx = start_idx + opt.query_size
+        if start_idx + 25 > n:  # min query size 25, ref sigfish.c:450-456
+            w.skip = True
+            w.flag_ignored = True
+            return w
+        if end_idx > n:
+            end_idx = n
+            w.flag_too_short = True
+    else:
+        start_idx = n - opt.prefix_size - opt.query_size
+        end_idx = n - opt.prefix_size
+        if start_idx < 0:
+            start_idx = 0
+            w.flag_too_short = True
+        if end_idx < 0:
+            w.skip = True
+            w.flag_ignored = True
+            return w
+
+    w.qstart = int(start_idx)
+    w.qend = int(end_idx)
+
+    # z-score the slice, float32 population stats (ref sigfish.c:483-502)
+    sl = w.event_mean[start_idx:end_idx]
+    num = np.float32(end_idx - start_idx)
+    mean = np.float32(sl.sum(dtype=np.float32) / num)
+    var = np.float32(np.sum((sl - mean) * (sl - mean), dtype=np.float32) / num)
+    stdv = np.float32(np.sqrt(var))
+    sl_norm = (sl - mean) / stdv
+    w.event_mean[start_idx:end_idx] = sl_norm
+
+    qlen = end_idx - start_idx
+    if opt.rna and not opt.invert:
+        w.query = sl_norm[::-1].copy()  # reversed query, ref sigfish.c:860-867
+    else:
+        w.query = sl_norm.copy()
+    assert w.query.size == qlen
+    return w
+
+
+def _backtrack_best(
+    core: Core,
+    w: ReadWork,
+    track_idx: int,
+    pos_local: int,
+    ckpts: np.ndarray,
+    batch_slot: int,
+) -> tuple[int, np.ndarray | None]:
+    """Recover pos_st (and ref->query-event map for SAM) for the winner.
+
+    Recomputes a bounded DP column window seeded from the nearest scan
+    checkpoint, then runs the greedy backtrack -- replaces the reference's
+    full-matrix retention (see ops/sdtw_ref docstring).
+    """
+    opt = core.opt
+    track_start = int(core.track_offsets[track_idx])
+    pos_global = track_start + pos_local
+    qlen = w.query.size
+    ckpt = opt.ckpt
+    track = core.tracks[track_idx]
+
+    span = max(3 * qlen, 64) if not opt.dtw_std else pos_local + 1
+    while True:
+        j_lo = max(track_start, pos_global - span + 1)
+        if j_lo > track_start:
+            # snap down to a checkpoint boundary; checkpoint k seeds column
+            # k*ckpt+ckpt, i.e. recompute starts at a multiple of ckpt
+            j_lo = (j_lo // ckpt) * ckpt
+        if j_lo <= track_start:
+            j_lo = track_start
+            seed = None
+        else:
+            seed = ckpts[j_lo // ckpt - 1, batch_slot, :qlen]
+        ref_cols = core.ref_cat[j_lo : pos_global + 1]
+        cost = subsequence_cost_seeded(w.query, ref_cols, seed, std=opt.dtw_std)
+        px, py = subsequence_path(cost, pos_global - j_lo)
+        if py[0] == 0 and j_lo > track_start:
+            # path touched the recompute window's left edge: widen
+            span *= 2
+            if span > pos_local + 1 + 2 * ckpt:
+                span = pos_local + 1 + 2 * ckpt  # full track prefix next
+            if j_lo == track_start:
+                break
+            continue
+        break
+
+    pos_st_local = int(py[0]) + (j_lo - track_start)
+    r2q = None
+    if opt.sam:
+        length = pos_local - pos_st_local + 1
+        r2q = path_to_map(px, py, length)
+    return pos_st_local, r2q
+
+
+def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], BatchStats]:
+    """Map one batch of raw records; returns per-read output lines."""
+    opt = core.opt
+    stats = BatchStats(n_rec=len(blobs), sum_bytes=sum(len(b) for b in blobs))
+
+    # ---- host stages (parallel over reads)
+    if core._pool is not None:
+        works = list(core._pool.map(lambda b: _prepare_read(core, b), blobs))
+    else:
+        works = [_prepare_read(core, b) for b in blobs]
+
+    for w in works:
+        stats.prefix_fail += w.flag_prefix_fail
+        stats.ignored += w.flag_ignored
+        stats.too_short += w.flag_too_short
+
+    live = [i for i, w in enumerate(works) if not w.skip]
+    if not live:
+        return [None] * len(works), stats
+
+    # ---- device stage
+    queries = [works[i].query for i in live]
+    qb, qlens, onehot = make_query_batch(queries)
+    last_row, ckpts = sdtw_scan(
+        jnp.asarray(qb),
+        jnp.asarray(onehot),
+        core.ref_cat_dev,
+        core.reset_dev,
+        ckpt=opt.ckpt,
+        std=opt.dtw_std,
+    )
+    last_row = np.asarray(last_row)
+    ckpts = np.asarray(ckpts)
+
+    # ---- candidate extraction + ranking (host)
+    offs = core.track_offsets
+    ntracks = len(core.tracks)
+
+    for slot, i in enumerate(live):
+        w = works[i]
+        qlen = int(qlens[slot])
+        cand_scores: list[float] = []
+        cand_pos: list[int] = []
+        cand_track: list[int] = []
+        for t in range(ntracks):
+            lo, hi = int(offs[t]), int(offs[t + 1])
+            track_scores = last_row[slot, lo:hi]
+            if opt.dtw_std:
+                # single candidate per track: the corner cell
+                # ref sigfish.c:914-925
+                if hi > lo:
+                    cand_scores.append(float(track_scores[-1]))
+                    cand_pos.append(hi - lo - 1)
+                    cand_track.append(t)
+                continue
+            mins, args = window_argmin(track_scores, qlen)
+            cand_scores.extend(mins.tolist())
+            cand_pos.extend(args.tolist())
+            cand_track.extend([t] * mins.size)
+
+        best, d1, d2 = rank_candidates(
+            np.asarray(cand_scores, dtype=np.float32), np.asarray(cand_pos)
+        )
+        if best < 0:
+            w.out = None
+            continue
+        t = cand_track[best]
+        rid, strand = core.track_meta[t]
+        pos_end_local = int(cand_pos[best])
+
+        pos_st_local, r2q = _backtrack_best(core, w, t, pos_end_local, ckpts, slot)
+
+        # strand flip + RNA offset, ref sigfish.c:971-977
+        rlen = core.ref.ref_lengths[rid]
+        if strand == "+":
+            pos_st, pos_end = pos_st_local, pos_end_local
+        else:
+            pos_st, pos_end = rlen - pos_end_local, rlen - pos_st_local
+        pos_st += core.ref.ref_st_offset[rid]
+        pos_end += core.ref.ref_st_offset[rid]
+
+        mapq = compute_mapq(d1, d2)
+
+        # raw index recovery, ref aln_to_str sigfish.c:796-815
+        start_ev = w.qstart
+        end_ev = w.qend - 1
+        start_raw = int(w.event_start[start_ev])
+        end_raw = int(w.event_start[end_ev]) + int(np.float32(w.event_length[end_ev]))
+        query_size = end_ev - start_ev
+
+        if opt.sam:
+            w.out = sam_line(
+                w.rec.read_id,
+                strand,
+                core.ref.ref_names[rid],
+                pos_st,
+                pos_end,
+                mapq,
+                query_size,
+                start_raw,
+                end_raw,
+                w.qstart,
+                r2q,
+                w.event_start,
+                w.event_length,
+                opt.rna,
+            )
+        else:
+            w.out = paf_line(
+                w.rec.read_id,
+                w.rec.len_raw_signal,
+                start_raw,
+                end_raw,
+                strand,
+                core.ref.ref_names[rid],
+                core.ref.ref_seq_lengths[rid],
+                pos_st,
+                pos_end,
+                d1,
+                d2,
+                mapq,
+                query_size,
+            )
+
+    return [w.out for w in works], stats
+
+
+def run_dtw(core: Core, out_fp) -> None:
+    """The batch loop. ref: dtw_main.c:299-326."""
+    import sys
+    import time
+
+    opt = core.opt
+    realtime0 = time.time()
+    counter = 0
+    while True:
+        t0 = time.time()
+        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+        core.load_db_time += time.time() - t0
+        if not blobs:
+            break
+        sys.stderr.write(
+            f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
+            f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
+        )
+        t0 = time.time()
+        lines, stats = process_batch(core, blobs)
+        core.process_db_time += time.time() - t0
+        sys.stderr.write(
+            f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
+            f"({stats.sum_bytes/1e6:.1f}M bytes) processed\n"
+        )
+        t0 = time.time()
+        for line in lines:
+            if line is not None:
+                out_fp.write(line)
+        out_fp.flush()
+        core.output_time += time.time() - t0
+        core.total_reads += stats.n_rec
+        core.sum_bytes += stats.sum_bytes
+        core.prefix_fail += stats.prefix_fail
+        core.ignored += stats.ignored
+        core.too_short += stats.too_short
+        if opt.debug_break == counter:
+            break
+        counter += 1
+        if len(blobs) < opt.batch_size and stats.sum_bytes < opt.batch_size_bytes:
+            break
