@@ -81,20 +81,21 @@ def sdtw_scan(
     reset: jnp.ndarray,  # (R,) bool, True at the first column of each track
     ckpt: int = 512,
     std: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the batched column scan.
+) -> jnp.ndarray:
+    """Run the batched column scan; returns last_row (B, R) float32.
 
-    Returns (last_row (B, R) float32, checkpoints (R//ckpt, B, Q) float32)
-    where checkpoints[k] is the DP column at j = k*ckpt + ckpt-1 (i.e. the
-    carry *after* processing that column; the recompute window for columns
-    [k*ckpt+ckpt .. ] seeds from it).
-
-    std=True switches to boundary-anchored standard DTW (RNA --dtw-std,
-    ref sigfish.c:914-925).
+    No DP state is retained: the winning candidate's path is recovered on
+    the host by *fresh* recompute of a bounded column window -- exact
+    because subsequence DTW has a free start on the reference axis, so DP
+    values at column j only depend on the columns its optimal path spans
+    (the host retries with a wider window if a path touches the window
+    edge). std=True switches to boundary-anchored standard DTW (RNA
+    --dtw-std, ref sigfish.c:914-925), whose backtrack recomputes from the
+    track start instead.
     """
     B, Q = queries.shape
     R = ref.shape[0]
-    assert R % ckpt == 0, "reference must be padded to a checkpoint multiple"
+    assert R % ckpt == 0, "reference must be padded to a chunk multiple"
     nchunk = R // ckpt
 
     ref_chunks = ref.reshape(nchunk, ckpt)
@@ -117,15 +118,13 @@ def sdtw_scan(
             return new, lr
 
         carry, lr_cols = jax.lax.scan(col_step, carry, (ref_c, reset_c))
-        return carry, (lr_cols, carry)
+        return carry, lr_cols
 
     init = jnp.full((B, Q), BIG, dtype=jnp.float32)
-    _, (lr, ckpts) = jax.lax.scan(
-        chunk_step, init, (ref_chunks, reset_chunks)
-    )
+    _, lr = jax.lax.scan(chunk_step, init, (ref_chunks, reset_chunks))
     # lr: (nchunk, ckpt, B) -> (B, R)
     last_row = lr.reshape(nchunk * ckpt, B).T
-    return last_row, ckpts
+    return last_row
 
 
 def pad_tracks(

@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: batched subsequence-DTW as a skewed anti-diagonal
+wavefront.
+
+Why a wavefront (and not the column scan of ops/sdtw.py): the DP column
+update has a sequential dependency along the query axis; the column scan
+breaks it with a log-depth prefix-min (~24 vector ops/column). On the
+anti-diagonal d = i + j every cell depends only on diagonals d-1 and d-2,
+so one step is a handful of shifted mins -- no scan at all:
+
+    A_d[i] = |x[i] - y[d-i]| + min( A_{d-1}[i-1],            # up
+                                    A_{d-1}[i],              # left
+                                    A_{d-2}[i-1] )           # diag
+    A_d[0] = |x[0] - y[d]|                                   # free start
+
+The skewed layout keeps every step a full (B, Q) vector op: lanes hold
+query positions, the reference value window y[d-i] is maintained by a
+roll-and-insert (one scalar VMEM load per step, no dynamic lane slicing),
+and track-reset masks ride along the same way. Each step emits one
+last-row element per read, A_d[qlen_b - 1], accumulated into a (B, TD)
+tile via a lane-mask select; the host maps step index d to reference
+column j = d - qlen_b + 1 per read (qlen varies for short reads, ref
+src/sigfish.c:457-461).
+
+Per step: ~16 VPU ops on (B, Q) f32 -- ~2x fewer than the column scan and
+with no serial scan chains. min-plus DP has no MXU path; the VPU is the
+roofline, so everything stays float32 resident in VMEM with zero HBM
+traffic inside a tile.
+
+Grid: sequential tiles of TD diagonals; DP carry diagonals live in VMEM
+scratch across grid steps. ref: semantics of src/cdtw.c:172-189 (see
+ops/sdtw.py for the contract shared with the lax.scan engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.0e38  # plain python floats: jnp scalars would be captured consts
+PAD = 1.0e18
+
+
+def _shift_down(x: jnp.ndarray, fill: jnp.ndarray, lane_idx: jnp.ndarray) -> jnp.ndarray:
+    """lane i <- x[i-1]; lane 0 <- fill. x: (B, Q)."""
+    rolled = pltpu.roll(x, shift=1, axis=1)
+    return jnp.where(lane_idx == 0, fill, rolled)
+
+
+def _wavefront_kernel(
+    # inputs
+    queries_ref,  # (B, Q) VMEM
+    onehot_ref,   # (B, Q) VMEM, one-hot at qlen-1 per read
+    ypad_ref,     # (1, TD) SMEM block: reference values for this tile
+    rspad_ref,    # (1, TD) SMEM block: 1.0 at track starts
+    # outputs
+    out_ref,      # (B, TD) VMEM block for this tile
+    # scratch
+    a1_ref,       # (B, Q) A_{d-1}
+    a2_ref,       # (B, Q) A_{d-2}
+    ywin_ref,     # (1, Q) ywin[i] = y[d-i]
+    rswin_ref,    # (1, Q)
+    *,
+    td: int,
+):
+    g = pl.program_id(0)
+    B, Q = queries_ref.shape
+
+    @pl.when(g == 0)
+    def _init():
+        a1_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
+        a2_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
+        ywin_ref[:] = jnp.full((1, Q), PAD, dtype=jnp.float32)
+        rswin_ref[:] = jnp.zeros((1, Q), dtype=jnp.float32)
+
+    q = queries_ref[:]
+    onehot = onehot_ref[:]
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+    lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
+
+    def step(t, acc):
+        # advance the reference/reset windows: lane i holds y[d - i]
+        y_d = ypad_ref[0, t]
+        rs_d = rspad_ref[0, t]
+        ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin_ref[:], shift=1, axis=1))
+        rswin = jnp.where(lane_1 == 0, rs_d, pltpu.roll(rswin_ref[:], shift=1, axis=1))
+        ywin_ref[:] = ywin
+        rswin_ref[:] = rswin
+
+        a1 = a1_ref[:]
+        a2 = a2_ref[:]
+        local = jnp.abs(q - ywin)  # (B, Q) via broadcast of (1, Q)
+        rs = (rswin > 0.5)  # (1, Q) broadcast
+        up = _shift_down(a1, BIG, lane_b)
+        left = jnp.where(rs, BIG, a1)
+        diag = jnp.where(rs, BIG, _shift_down(a2, BIG, lane_b))
+        a_new = local + jnp.minimum(jnp.minimum(up, left), diag)
+        a_new = jnp.where(lane_b == 0, local, a_new)  # free start row
+        a2_ref[:] = a1
+        a1_ref[:] = a_new
+
+        # emit the per-read last-row element for this diagonal
+        lr = jnp.sum(a_new * onehot, axis=1, keepdims=True)  # (B, 1)
+        return jnp.where(col_idx == t, lr, acc)
+
+    acc0 = jnp.full((B, td), PAD, dtype=jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, td, step, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("td",))
+def sdtw_wavefront(
+    queries: jnp.ndarray,   # (B, Q) float32
+    row_onehot: jnp.ndarray,  # (B, Q) float32
+    ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
+    rspad: jnp.ndarray,     # (1, D) float32
+    td: int = 256,
+) -> jnp.ndarray:
+    """Returns diag-indexed scores (B, D): out[b, d] = cost[qlen_b-1, d-qlen_b+1].
+
+    Use :func:`diag_to_last_row` (or a host-side slice) to convert to the
+    column-indexed last row.
+    """
+    B, Q = queries.shape
+    D = ypad.shape[1]
+    assert D % td == 0
+    n_tiles = D // td
+
+    return pl.pallas_call(
+        functools.partial(_wavefront_kernel, td=td),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((B, td), lambda g: (0, g), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, Q), jnp.float32),
+            pltpu.VMEM((B, Q), jnp.float32),
+            pltpu.VMEM((1, Q), jnp.float32),
+            pltpu.VMEM((1, Q), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
+        ),
+    )(queries, row_onehot, ypad, rspad)
+
+
+def prepare_wavefront_inputs(
+    ref: np.ndarray, reset: np.ndarray, Q: int, td: int = 256
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pad the concatenated track array for the wavefront kernel.
+
+    Returns (ypad (1, D), rspad (1, D), D) with D = ceil((R+Q)/td)*td.
+    """
+    R = ref.shape[0]
+    D = ((R + Q + td - 1) // td) * td
+    ypad = np.full((1, D), PAD, dtype=np.float32)
+    ypad[0, :R] = ref
+    rspad = np.zeros((1, D), dtype=np.float32)
+    rspad[0, :R] = reset.astype(np.float32)
+    if R < D:
+        rspad[0, R] = 1.0  # isolate the tail padding
+    return ypad, rspad, D
+
+
+def diag_scores_to_last_row(
+    diag_scores: np.ndarray, qlens: np.ndarray, R: int
+) -> np.ndarray:
+    """Host-side conversion: out[b, d] -> last_row[b, j] with j = d-qlen_b+1."""
+    B, D = diag_scores.shape
+    lr = np.empty((B, R), dtype=np.float32)
+    for b in range(B):
+        o = int(qlens[b]) - 1
+        lr[b] = diag_scores[b, o : o + R]
+    return lr

@@ -50,6 +50,11 @@ from ..ops.candidates import (
 )
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
+from ..ops.sdtw_pallas import (
+    diag_scores_to_last_row,
+    prepare_wavefront_inputs,
+    sdtw_wavefront,
+)
 from ..ops.sdtw_ref import path_to_map, subsequence_cost_seeded, subsequence_path
 from ..output import paf_line, sam_line
 from ..utils import log_info, log_verbose, log_warning
@@ -176,6 +181,17 @@ class Core:
         self.ref_cat_dev = jnp.asarray(ref_cat)
         self.reset_dev = jnp.asarray(reset)
 
+        # engine selection: Pallas wavefront kernel on TPU, lax.scan
+        # elsewhere (and for --dtw-std, which is tiny-track RNA-only)
+        import jax
+
+        if opt.use_pallas is None:
+            self.use_pallas = jax.default_backend() == "tpu"
+        else:
+            self.use_pallas = opt.use_pallas
+        self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
+        self._wf_cache: dict[int, tuple] = {}
+
         # counters (ref core_t)
         self.total_reads = 0
         self.sum_bytes = 0
@@ -193,6 +209,39 @@ class Core:
         self._pool: _fut.ThreadPoolExecutor | None = None
         if opt.num_thread > 1:
             self._pool = _fut.ThreadPoolExecutor(max_workers=opt.num_thread)
+
+    def sdtw_run(
+        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray, std: bool
+    ) -> np.ndarray:
+        """Dispatch the batched sDTW to the selected engine; returns the
+        last-row scores (B, R) as numpy."""
+        if self.use_pallas and not std:
+            Q = qb.shape[1]
+            td = 512
+            if Q not in self._wf_cache:
+                self._wf_cache[Q] = prepare_wavefront_inputs(
+                    self.ref_cat, self.reset, Q, td=td
+                )
+            ypad, rspad, D = self._wf_cache[Q]
+            ds = sdtw_wavefront(
+                jnp.asarray(qb),
+                jnp.asarray(onehot),
+                jnp.asarray(ypad),
+                jnp.asarray(rspad),
+                td=td,
+            )
+            return diag_scores_to_last_row(
+                np.asarray(ds), qlens, self.ref_cat.shape[0]
+            )
+        lr = sdtw_scan(
+            jnp.asarray(qb),
+            jnp.asarray(onehot),
+            self.ref_cat_dev,
+            self.reset_dev,
+            ckpt=self.opt.ckpt,
+            std=std,
+        )
+        return np.asarray(lr)
 
     def close(self) -> None:
         self.sf.close()
@@ -298,44 +347,33 @@ def _backtrack_best(
     w: ReadWork,
     track_idx: int,
     pos_local: int,
-    ckpts: np.ndarray,
-    batch_slot: int,
 ) -> tuple[int, np.ndarray | None]:
     """Recover pos_st (and ref->query-event map for SAM) for the winner.
 
-    Recomputes a bounded DP column window seeded from the nearest scan
-    checkpoint, then runs the greedy backtrack -- replaces the reference's
-    full-matrix retention (see ops/sdtw_ref docstring).
+    Recomputes a *fresh* DP column window ending at the winning column and
+    backtracks greedily -- exact because subsequence DTW has a free start
+    on the reference axis: DP values at a column only depend on the
+    columns its optimal path spans, so a window that contains the winning
+    path reproduces the full-matrix values along it. If the path touches
+    the window's left edge the window is widened and recomputed. Standard
+    DTW (--dtw-std) is boundary-anchored, so its window is always the full
+    track prefix. Replaces the reference's O(qlen x rlen) matrix retention
+    (src/sigfish.c:873, src/cdtw.c:120).
     """
     opt = core.opt
     track_start = int(core.track_offsets[track_idx])
     pos_global = track_start + pos_local
     qlen = w.query.size
-    ckpt = opt.ckpt
-    track = core.tracks[track_idx]
 
-    span = max(3 * qlen, 64) if not opt.dtw_std else pos_local + 1
+    span = pos_local + 1 if opt.dtw_std else min(max(3 * qlen, 64), pos_local + 1)
     while True:
-        j_lo = max(track_start, pos_global - span + 1)
-        if j_lo > track_start:
-            # snap down to a checkpoint boundary; checkpoint k seeds column
-            # k*ckpt+ckpt, i.e. recompute starts at a multiple of ckpt
-            j_lo = (j_lo // ckpt) * ckpt
-        if j_lo <= track_start:
-            j_lo = track_start
-            seed = None
-        else:
-            seed = ckpts[j_lo // ckpt - 1, batch_slot, :qlen]
+        j_lo = pos_global + 1 - span
         ref_cols = core.ref_cat[j_lo : pos_global + 1]
-        cost = subsequence_cost_seeded(w.query, ref_cols, seed, std=opt.dtw_std)
-        px, py = subsequence_path(cost, pos_global - j_lo)
+        cost = subsequence_cost_seeded(w.query, ref_cols, None, std=opt.dtw_std)
+        px, py = subsequence_path(cost, span - 1)
         if py[0] == 0 and j_lo > track_start:
             # path touched the recompute window's left edge: widen
-            span *= 2
-            if span > pos_local + 1 + 2 * ckpt:
-                span = pos_local + 1 + 2 * ckpt  # full track prefix next
-            if j_lo == track_start:
-                break
+            span = min(span * 2, pos_local + 1)
             continue
         break
 
@@ -367,19 +405,18 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
     if not live:
         return [None] * len(works), stats
 
-    # ---- device stage
+    # ---- device stage: pad the batch to a bucket size so engines compile
+    # once per (B, Q) shape
     queries = [works[i].query for i in live]
-    qb, qlens, onehot = make_query_batch(queries)
-    last_row, ckpts = sdtw_scan(
-        jnp.asarray(qb),
-        jnp.asarray(onehot),
-        core.ref_cat_dev,
-        core.reset_dev,
-        ckpt=opt.ckpt,
-        std=opt.dtw_std,
-    )
-    last_row = np.asarray(last_row)
-    ckpts = np.asarray(ckpts)
+    nb = len(queries)
+    bucket = 64
+    while bucket < nb:
+        bucket *= 2
+    bucket = min(bucket, max(64, opt.batch_size))
+    while len(queries) < bucket:
+        queries.append(np.zeros(1, dtype=np.float32))  # dummy slot
+    qb, qlens, onehot = make_query_batch(queries, pad_q=core.pad_q)
+    last_row = core.sdtw_run(qb, qlens, onehot, opt.dtw_std)
 
     # ---- candidate extraction + ranking (host)
     offs = core.track_offsets
@@ -417,7 +454,7 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
         rid, strand = core.track_meta[t]
         pos_end_local = int(cand_pos[best])
 
-        pos_st_local, r2q = _backtrack_best(core, w, t, pos_end_local, ckpts, slot)
+        pos_st_local, r2q = _backtrack_best(core, w, t, pos_end_local)
 
         # strand flip + RNA offset, ref sigfish.c:971-977
         rlen = core.ref.ref_lengths[rid]
