@@ -1,0 +1,6 @@
+from .shard import (  # noqa: F401
+    make_mesh,
+    shard_tracks,
+    sharded_sdtw,
+    sharded_sdtw_step,
+)

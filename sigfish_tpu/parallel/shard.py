@@ -1,0 +1,146 @@
+"""Multi-chip execution: shard_map over a (dp, tp) device mesh.
+
+The reference's only parallelism is a pthread fork-join over reads within
+one process (src/thread.c:24-116). The TPU-native equivalents here:
+
+  dp (data parallel)   the read-batch axis of the sDTW engine is sharded
+                       across mesh axis 'dp' -- the direct analog of the
+                       reference's per-read work queue.
+  tp (track parallel)  the (contig, strand) tracks of the synthesized
+                       reference are partitioned across mesh axis 'tp'
+                       (whole tracks, balanced by length -- a track's DP
+                       column scan is sequential in the reference axis, so
+                       splitting *within* a track would serialize on the
+                       carry; splitting *across* tracks is free). Each
+                       shard scans only its tracks; `jax.lax.all_gather`
+                       over 'tp' reassembles the full last-row score
+                       matrix on every device.
+
+Candidate ranking (window argmin + top-5, src/sigfish.c:891-900,575-626)
+stays on the host: it is O(B x R / qlen) scalar work on a tiny result.
+
+Collectives ride ICI via XLA GSPMD; no NCCL/MPI analog exists or is
+needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sdtw import make_query_batch, sdtw_scan
+
+
+def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, tp) mesh from the first n_dp*n_tp devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_dp * n_tp
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_dp, n_tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def shard_tracks(
+    tracks: list[np.ndarray], n_tp: int, ckpt: int = 512
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[list[int]]]:
+    """Partition whole tracks across n_tp shards, balanced by length
+    (greedy LPT), each shard padded to the common per-shard width.
+
+    Returns (ref (n_tp, Rs) f32, reset (n_tp, Rs) bool,
+    offsets (n_tp, T_max+1) i64 local track offsets per shard,
+    assignment: per-shard list of global track indices).
+    """
+    order = np.argsort([-t.size for t in tracks])
+    loads = [0] * n_tp
+    assign: list[list[int]] = [[] for _ in range(n_tp)]
+    for gi in order:
+        s = int(np.argmin(loads))
+        assign[s].append(int(gi))
+        loads[s] += tracks[gi].size
+    for a in assign:
+        a.sort()  # keep global candidate order reconstructible
+    width = max(loads) if max(loads) else ckpt
+    Rs = ((width + ckpt - 1) // ckpt) * ckpt
+    ref = np.full((n_tp, Rs), 1.0e18, dtype=np.float32)
+    reset = np.zeros((n_tp, Rs), dtype=bool)
+    tmax = max(len(a) for a in assign)
+    offsets = np.zeros((n_tp, tmax + 1), dtype=np.int64)
+    for s, a in enumerate(assign):
+        pos = 0
+        for li, gi in enumerate(a):
+            t = tracks[gi]
+            ref[s, pos : pos + t.size] = t
+            if t.size:
+                reset[s, pos] = True
+            pos += t.size
+            offsets[s, li + 1] = pos
+        offsets[s, len(a) + 1 :] = pos
+        if pos < Rs:
+            reset[s, pos] = True  # padding is its own track
+    return ref, reset, offsets, assign
+
+
+@partial(jax.jit, static_argnames=("mesh", "ckpt", "std"))
+def sharded_sdtw(
+    queries: jnp.ndarray,  # (B, Q) f32, B divisible by mesh dp size
+    row_onehot: jnp.ndarray,  # (B, Q) f32
+    ref: jnp.ndarray,  # (n_tp, Rs) f32 from shard_tracks
+    reset: jnp.ndarray,  # (n_tp, Rs) bool
+    mesh: Mesh,
+    ckpt: int = 512,
+    std: bool = False,
+) -> jnp.ndarray:
+    """Batched sDTW over the mesh; returns last_row (B, n_tp*Rs) f32,
+    replicated over 'tp' and sharded over 'dp' like the inputs."""
+
+    def local(q, oh, r, rs):
+        # q: (B/dp, Q); r: (1, Rs) this shard's track block
+        lr = sdtw_scan(q, oh, r[0], rs[0], ckpt=ckpt, std=std)
+        # (B/dp, Rs) -> gather all shards' columns
+        out = jax.lax.all_gather(lr, "tp", axis=1, tiled=True)
+        return out
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("tp", None), P("tp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )(queries, row_onehot, ref, reset)
+
+
+def sharded_sdtw_step(
+    mesh: Mesh,
+    queries: list[np.ndarray],
+    tracks: list[np.ndarray],
+    pad_q: int | None = None,
+    ckpt: int = 512,
+    std: bool = False,
+):
+    """Host-side convenience: pad/shard inputs, run one sharded step.
+
+    Returns (last_row (B, n_tp*Rs) np.ndarray, qlens, shard offsets,
+    assignment) -- enough to run window-argmin candidate extraction per
+    global track on the host.
+    """
+    n_dp = mesh.shape["dp"]
+    n_tp = mesh.shape["tp"]
+    qb, qlens, onehot = make_query_batch(queries, pad_q=pad_q)
+    B = qb.shape[0]
+    if B % n_dp:
+        padb = n_dp - B % n_dp
+        qb = np.pad(qb, ((0, padb), (0, 0)))
+        onehot = np.pad(onehot, ((0, padb), (0, 0)))
+    ref, reset, offsets, assign = shard_tracks(tracks, n_tp, ckpt=ckpt)
+    lr = sharded_sdtw(
+        jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+        jnp.asarray(reset), mesh, ckpt=ckpt, std=std,
+    )
+    return np.asarray(lr)[:B], qlens, offsets, assign

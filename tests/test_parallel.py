@@ -1,0 +1,58 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
+from sigfish_tpu.parallel import make_mesh, shard_tracks, sharded_sdtw_step
+
+
+def _rand(n, seed):
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device():
+    queries = [_rand(40 + i, i) for i in range(8)]
+    tracks = [_rand(200 + 37 * i, 100 + i) for i in range(5)]
+    mesh = make_mesh(4, 2)
+    lr, qlens, offsets, assign = sharded_sdtw_step(
+        mesh, queries, tracks, pad_q=64, ckpt=128
+    )
+    # single-device oracle
+    qb, _, onehot = make_query_batch(queries, pad_q=64)
+    ref, reset, offs = pad_tracks(tracks, ckpt=128)
+    lr1 = np.asarray(
+        sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+                  jnp.asarray(reset), ckpt=128)
+    )
+    n_tp = mesh.shape["tp"]
+    Rs = lr.shape[1] // n_tp
+    for gi, t in enumerate(tracks):
+        # locate gi in its shard
+        s = next(s for s, a in enumerate(assign) if gi in a)
+        li = assign[s].index(gi)
+        lo = int(offsets[s, li])
+        sharded_scores = lr[:, s * Rs + lo : s * Rs + lo + t.size]
+        lo1 = int(offs[gi])
+        single_scores = lr1[:, lo1 : lo1 + t.size]
+        np.testing.assert_allclose(sharded_scores, single_scores, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_shard_tracks_balanced():
+    tracks = [np.ones(s, np.float32) for s in (1000, 900, 100, 90, 80, 70)]
+    ref, reset, offsets, assign = shard_tracks(tracks, 2, ckpt=128)
+    loads = [sum(tracks[i].size for i in a) for a in assign]
+    assert abs(loads[0] - loads[1]) <= 900
+    assert ref.shape[0] == 2
+    assert set(sum(assign, [])) == set(range(6))

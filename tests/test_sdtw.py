@@ -1,0 +1,93 @@
+"""sDTW engine tests: scan engine vs exact scalar-order reference.
+
+ref: cdtw.c:70-94 (std_dtw), :172-189 (subsequence).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
+from sigfish_tpu.ops.sdtw_ref import (
+    subsequence_cost,
+    subsequence_path,
+    std_dtw_cost,
+)
+from sigfish_tpu.ops.candidates import (
+    compute_mapq,
+    rank_candidates,
+    window_argmin,
+)
+
+
+def _rand(n, seed):
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
+
+
+def test_scan_matches_exact_subsequence():
+    q1, q2 = _rand(40, 0), _rand(25, 1)
+    t1, t2 = _rand(300, 2), _rand(180, 3)
+    qb, qlens, onehot = make_query_batch([q1, q2], pad_q=64)
+    ref, reset, offs = pad_tracks([t1, t2], ckpt=128)
+    lr = np.asarray(
+        sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+                  jnp.asarray(reset), ckpt=128)
+    )
+    for b, q in enumerate([q1, q2]):
+        for t_i, t in enumerate([t1, t2]):
+            lo, hi = int(offs[t_i]), int(offs[t_i + 1])
+            exact = np.asarray(subsequence_cost(q, t))[-1]
+            got = lr[b, lo:hi]
+            np.testing.assert_allclose(got, exact, rtol=2e-5, atol=2e-4)
+
+
+def test_scan_matches_exact_std():
+    q = _rand(30, 4)
+    t = _rand(200, 5)
+    qb, qlens, onehot = make_query_batch([q], pad_q=32)
+    ref, reset, offs = pad_tracks([t], ckpt=128)
+    lr = np.asarray(
+        sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+                  jnp.asarray(reset), ckpt=128, std=True)
+    )
+    exact = np.asarray(std_dtw_cost(q, t))[-1]
+    np.testing.assert_allclose(lr[0, : t.size], exact, rtol=2e-5, atol=2e-4)
+
+
+def test_backtrack_path_properties():
+    q = _rand(20, 6)
+    t = _rand(100, 7)
+    cost = np.asarray(subsequence_cost(q, t))
+    starty = int(cost[-1].argmin())
+    px, py = subsequence_path(cost, starty)
+    # monotone non-decreasing, ends at (n-1, starty)
+    assert px[-1] == q.size - 1 and py[-1] == starty
+    assert (np.diff(px) >= 0).all() and (np.diff(py) >= 0).all()
+    assert (np.diff(px) + np.diff(py) >= 1).all()
+
+
+def test_window_argmin_first_min_wins():
+    # strict < comparison: first minimum wins within a window
+    # ref sigfish.c:895
+    scores = np.array([5.0, 1.0, 1.0, 7.0, 0.5, 2.0, 0.5, 9.0], np.float32)
+    mins, args = window_argmin(scores, 4)
+    assert mins.tolist() == [1.0, 0.5]
+    assert args.tolist() == [1, 4]
+
+
+def test_rank_candidates_tie_semantics():
+    # ties rank the NEW candidate better (score > comparison,
+    # ref sigfish.c:577-583): with equal scores the later-inserted one
+    # must come out ahead of the earlier one
+    scores = np.array([3.0, 3.0, 5.0], np.float32)
+    pos = np.array([10, 20, 30])
+    best, d1, d2 = rank_candidates(scores, pos)
+    assert best == 1  # later tie wins
+    assert d1 == 3.0 and d2 == 3.0
+
+
+def test_mapq():
+    # mapq = round(500*(d2-d1)/d1) clamp 60, ref sigfish.c:979-983
+    assert compute_mapq(100.0, 100.0) == 0
+    assert compute_mapq(100.0, 103.0) == 15
+    assert compute_mapq(1.0, 100.0) == 60
+    assert compute_mapq(50.0, float("inf")) == 60
