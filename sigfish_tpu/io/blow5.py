@@ -418,3 +418,85 @@ class Slow5File:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class Slow5Writer:
+    """BLOW5 binary writer (record zlib / signal svb-zd by default).
+
+    Write-path counterpart of :class:`Slow5File`, completing the
+    slow5lib API-parity surface (ref: slow5lib/src/slow5.c header write
+    :792-880 layout, record write, 5WOLB EOF). Used by test fixtures and
+    the benchmark workload generator.
+    """
+
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        header_data: list[dict[str, str]] | None = None,
+        rec_press: str = "zlib",
+        sig_press: str = "svb-zd",
+    ):
+        self.path = os.fspath(path)
+        self._fp: BinaryIO = open(self.path, "wb")
+        self.rec_press = rec_press
+        self.sig_press = sig_press
+        self.header_data = header_data or [{}]
+        self._write_header()
+
+    def _write_header(self) -> None:
+        fp = self._fp
+        rec_code = {v: k for k, v in REC_PRESS.items()}[self.rec_press]
+        sig_code = {v: k for k, v in SIG_PRESS.items()}[self.sig_press]
+        fp.write(MAGIC)
+        fp.write(struct.pack("<BBB", 0, 2, 0))
+        fp.write(struct.pack("<B", rec_code))
+        fp.write(struct.pack("<I", len(self.header_data)))
+        fp.write(struct.pack("<B", sig_code))
+        fp.write(b"\x00" * (HDR_SIZE_OFFSET - fp.tell()))
+        attrs = sorted({k for g in self.header_data for k in g})
+        lines = []
+        for a in attrs:
+            vals = "\t".join(g.get(a, ".") for g in self.header_data)
+            lines.append(f"@{a}\t{vals}")
+        lines.append(
+            "#char*\tuint32_t\tdouble\tdouble\tdouble\tdouble\tuint64_t\tint16_t*"
+        )
+        lines.append(
+            "#read_id\tread_group\tdigitisation\toffset\trange\t"
+            "sampling_rate\tlen_raw_signal\traw_signal"
+        )
+        text = ("\n".join(lines) + "\n").encode("ascii")
+        fp.write(struct.pack("<I", len(text)))
+        fp.write(text)
+
+    def write_record(self, rec: Slow5Record) -> None:
+        rid = rec.read_id.encode("ascii")
+        body = bytearray()
+        body += struct.pack("<H", len(rid))
+        body += rid
+        body += struct.pack("<I", rec.read_group)
+        body += struct.pack(
+            "<dddd", rec.digitisation, rec.offset, rec.range, rec.sampling_rate
+        )
+        if self.sig_press == "none":
+            sig = np.asarray(rec.raw_signal, dtype="<i2").tobytes()
+            body += struct.pack("<Q", rec.len_raw_signal)
+        else:
+            sig = svb_zd_encode(rec.raw_signal)
+            body += struct.pack("<Q", len(sig))  # byte count (slow5.c:2880)
+        body += sig
+        blob = bytes(body)
+        if self.rec_press == "zlib":
+            blob = zlib.compress(blob)
+        self._fp.write(struct.pack("<Q", len(blob)))
+        self._fp.write(blob)
+
+    def close(self) -> None:
+        self._fp.write(EOF_MARKER)
+        self._fp.close()
+
+    def __enter__(self) -> "Slow5Writer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

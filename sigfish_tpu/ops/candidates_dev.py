@@ -1,0 +1,179 @@
+"""On-device candidate extraction: window-argmin + top-5, fused after the
+wavefront kernel so only (B, 5) scores/positions cross the host link.
+
+Why: the last-row score matrix is (B, R) -- 125 MB at B=512 on the nCoV
+reference -- and the device->host link is the throughput ceiling. The
+reference's candidate semantics (sigfish.c:891-900 window scan,
+update_aln:575-626) compress that to 5 (score, pos) pairs per read:
+
+  - windows of width qlen_b per (contig,strand) track, first-min-wins
+    within a window (strict <, sigfish.c:895)
+  - top-5 across windows in track order, later candidate wins ties
+    (update_aln's `score > aln[l].score` insertion, sigfish.c:577-583)
+  - d1 = best score, d2 = second best (aln[4], aln[3])
+
+The per-read window width (qlen_b varies for short reads,
+sigfish.c:457-461) makes this a *segmented* min-scan with per-read reset
+masks -- an associative_scan over (flag, min, argmin) triples, fully
+vectorized over the (B, R) grid. Top-5 is five masked argmin passes over
+the window-end lanes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(3.0e38)
+
+
+def build_column_maps(
+    offsets: np.ndarray, R: int, track_sizes: list[int] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static per-core arrays for the concatenated track layout.
+
+    Returns (u (R,) i32 local column index within its track,
+             valid (R,) bool real columns vs padding).
+    offsets: (T+1,) track start offsets; R: padded concat length;
+    track_sizes: real (unpadded) track lengths -- defaults to the offset
+    deltas (tight layout).
+    """
+    u = np.arange(R, dtype=np.int32)
+    total = int(offsets[-1])
+    valid = np.zeros(R, dtype=bool)
+    for t in range(len(offsets) - 1):
+        lo, hi = int(offsets[t]), int(offsets[t + 1])
+        u[lo:hi] -= lo
+        size = hi - lo if track_sizes is None else int(track_sizes[t])
+        valid[lo : lo + size] = True
+    u[total:] = 0
+    return u, valid
+
+
+def _seg_combine(a, b):
+    """Segmented (min, first-argmin) scan operator."""
+    fa, ma, ia = a
+    fb, mb, ib = b
+    better = mb < ma  # strict: right wins only if strictly smaller
+    m = jnp.where(fb, mb, jnp.where(better, mb, ma))
+    i = jnp.where(fb, ib, jnp.where(better, ib, ia))
+    return fa | fb, m, i
+
+
+@partial(jax.jit, static_argnames=("R", "k", "reindex"))
+def device_topk_candidates(
+    scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, R) last row
+    qlens: jnp.ndarray,    # (B,) i32
+    u: jnp.ndarray,        # (R,) i32 local column index per concat column
+    valid: jnp.ndarray,    # (R,) bool
+    R: int,
+    k: int = 5,
+    reindex: bool = True,
+):
+    """Returns (top_scores (B, k) f32 best-first, top_pos (B, k) i32 global
+    concat-column argmin positions; empty slots have score BIG and pos -1."""
+    B = scores.shape[0]
+    j = jnp.arange(R, dtype=jnp.int32)
+    if reindex:
+        idx = j[None, :] + (qlens[:, None] - 1)
+        lr = jnp.take_along_axis(scores, idx, axis=1)
+    else:
+        lr = scores[:, :R]
+    lr = jnp.where(valid[None, :], lr, BIG)
+
+    # per-read window starts: local column index multiple of qlen_b
+    qw = jnp.maximum(qlens, 1)[:, None]
+    ws = (u[None, :] % qw) == 0
+    ws = ws | ~valid[None, :]
+
+    jj = jnp.broadcast_to(j[None, :], lr.shape)
+    _, m, a = jax.lax.associative_scan(_seg_combine, (ws, lr, jj), axis=1)
+
+    # window ends: next column starts a new window, or last column
+    we = jnp.concatenate([ws[:, 1:], jnp.ones((B, 1), dtype=bool)], axis=1)
+    we = we & valid[None, :]
+    wm = jnp.where(we, m, BIG)
+
+    top_s = []
+    top_p = []
+    rows = jnp.arange(B)
+    for _ in range(k):
+        rev = wm[:, ::-1]
+        ar = jnp.argmin(rev, axis=1)
+        pick = R - 1 - ar  # latest window wins ties (update_aln semantics)
+        sc = jnp.take_along_axis(wm, pick[:, None], axis=1)[:, 0]
+        am = jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
+        am = jnp.where(sc >= BIG, -1, am)
+        top_s.append(sc)
+        top_p.append(am)
+        wm = wm.at[rows, pick].set(BIG)
+    return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
+
+
+@partial(jax.jit, static_argnames=("R", "W", "k", "reindex"))
+def device_window_top5(
+    scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, >=R) last row
+    qlens: jnp.ndarray,    # (B,) i32 (only used for the diag reindex)
+    valid: jnp.ndarray,    # (R,) bool, False on pad columns
+    R: int,
+    W: int,
+    k: int = 5,
+    reindex: bool = True,
+):
+    """Uniform-window-width candidate extraction (the production path).
+
+    Requires the track layout from pad_tracks(..., align=W): every track
+    starts at a multiple of W, so the reference's per-track windows of
+    width qlen (sigfish.c:891) coincide with a static (B, R/W, W) reshape
+    for every read whose qlen == W -- which is all full-length reads
+    (qlen < W only for clipped short reads, handled on the host).
+    Compiles in O(1) ops regardless of R (the segmented-scan variant's
+    compile time grows with R).
+
+    Returns (top_scores (B, k) best-first, top_pos (B, k) i32 global
+    columns; empty slots score >= BIG, pos -1).
+    """
+    B = scores.shape[0]
+    if reindex:
+        j = jnp.arange(R, dtype=jnp.int32)
+        idx = j[None, :] + (qlens[:, None] - 1)
+        lr = jnp.take_along_axis(scores, idx, axis=1)
+    else:
+        lr = scores[:, :R]
+    lr = jnp.where(valid[None, :], lr, BIG)
+    nwin = (R + W - 1) // W
+    if nwin * W != R:  # tail-pad to a whole window (pad never wins)
+        lr = jnp.pad(lr, ((0, 0), (0, nwin * W - R)), constant_values=BIG)
+    wsc = lr.reshape(B, nwin, W)
+    warg = jnp.argmin(wsc, axis=2)  # first-min-wins within window
+    wmin = jnp.take_along_axis(wsc, warg[:, :, None], axis=2)[:, :, 0]
+    wpos = warg.astype(jnp.int32) + (jnp.arange(nwin, dtype=jnp.int32) * W)[None, :]
+
+    top_s = []
+    top_p = []
+    rows = jnp.arange(B)
+    wm = wmin
+    for _ in range(k):
+        rev = wm[:, ::-1]
+        ar = jnp.argmin(rev, axis=1)
+        pick = nwin - 1 - ar  # latest window wins ties
+        sc = jnp.take_along_axis(wm, pick[:, None], axis=1)[:, 0]
+        am = jnp.take_along_axis(wpos, pick[:, None], axis=1)[:, 0]
+        am = jnp.where(sc >= BIG, -1, am)
+        top_s.append(sc)
+        top_p.append(am)
+        wm = wm.at[rows, pick].set(BIG)
+    return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
+
+
+@partial(jax.jit, static_argnames=("R",))
+def device_extract_last_row(
+    scores: jnp.ndarray, qlens: jnp.ndarray, row: int, R: int
+) -> jnp.ndarray:
+    """Pull one read's column-indexed last row from diag scores (for the
+    host fallback on reads with qlen != W)."""
+    j = jnp.arange(R, dtype=jnp.int32)
+    return scores[row, :][j + (qlens[row] - 1)]

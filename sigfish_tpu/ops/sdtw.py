@@ -128,29 +128,45 @@ def sdtw_scan(
 
 
 def pad_tracks(
-    tracks: list[np.ndarray], ckpt: int = 512
+    tracks: list[np.ndarray], ckpt: int = 512, align: int = 1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concatenate per-(contig,strand) tracks; pad to a ckpt multiple.
+
+    With align > 1 every track's segment is padded to an align multiple,
+    which makes the candidate windows of width `align` (the common query
+    size) coincide with a static reshape on device -- the inter-track pad
+    columns carry huge values, so pad windows can never beat a real
+    candidate and partial last windows are handled for free (the pad
+    cells lose every first-min-wins comparison).
 
     Returns (ref (R,) f32, reset (R,) bool, offsets (T+1,) i64 of each
     track's start inside the concatenated array).
     """
-    offsets = np.zeros(len(tracks) + 1, dtype=np.int64)
+    starts = np.zeros(len(tracks), dtype=np.int64)
+    pos = 0
     for i, t in enumerate(tracks):
-        offsets[i + 1] = offsets[i] + t.size
-    total = int(offsets[-1])
+        starts[i] = pos
+        seg = t.size
+        if align > 1:
+            seg = ((seg + align - 1) // align) * align
+        pos += seg
+    total = pos
     R = ((total + ckpt - 1) // ckpt) * ckpt if total else ckpt
     # pad value is large but far from float32 max so cumulative sums over a
     # pad chunk can never overflow to inf (inf-inf NaNs would poison cummin)
     ref = np.full(R, 1.0e18, dtype=np.float32)
     reset = np.zeros(R, dtype=bool)
     for i, t in enumerate(tracks):
-        ref[offsets[i] : offsets[i + 1]] = t
+        ref[starts[i] : starts[i] + t.size] = t
         if t.size:
-            reset[offsets[i]] = True
-    # treat padding as its own track so garbage never leaks across
+            reset[starts[i]] = True
+        # the pad gap after a track is its own DP "track" so garbage
+        # never leaks across the boundary
+        if starts[i] + t.size < (starts[i + 1] if i + 1 < len(tracks) else total):
+            reset[starts[i] + t.size] = True
     if total < R:
         reset[total] = True
+    offsets = np.concatenate([starts, [total]])
     return ref, reset, offsets
 
 

@@ -48,6 +48,12 @@ from ..ops.candidates import (
     window_argmin,
     window_argmin_batch,
 )
+from ..ops.candidates_dev import (
+    build_column_maps,
+    device_extract_last_row,
+    device_topk_candidates,
+    device_window_top5,
+)
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
 from ..ops.sdtw_pallas import (
@@ -173,11 +179,16 @@ class Core:
             if self.ref.reverse is not None:
                 tracks.append(self.ref.reverse[j])
                 self.track_meta.append((j, "-"))
-        ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt)
+        # align every track segment to the query size so the device-side
+        # candidate windows are a static reshape (ops/candidates_dev.py)
+        ref_cat, reset, offsets = pad_tracks(
+            tracks, ckpt=opt.ckpt, align=max(opt.query_size, 1)
+        )
         self.tracks = tracks
         self.ref_cat = ref_cat
         self.reset = reset
         self.track_offsets = offsets
+        self.track_sizes = [t.size for t in tracks]
         self.ref_cat_dev = jnp.asarray(ref_cat)
         self.reset_dev = jnp.asarray(reset)
 
@@ -191,6 +202,13 @@ class Core:
             self.use_pallas = opt.use_pallas
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
         self._wf_cache: dict[int, tuple] = {}
+
+        # static column maps for on-device candidate extraction
+        u_map, valid_map = build_column_maps(
+            offsets, ref_cat.shape[0], track_sizes=self.track_sizes
+        )
+        self.u_dev = jnp.asarray(u_map)
+        self.valid_dev = jnp.asarray(valid_map)
 
         # counters (ref core_t)
         self.total_reads = 0
@@ -214,7 +232,8 @@ class Core:
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray, std: bool
     ) -> np.ndarray:
         """Dispatch the batched sDTW to the selected engine; returns the
-        last-row scores (B, R) as numpy."""
+        last-row scores (B, R) as numpy. (Debug/--dtw-std path: transfers
+        the full last row; the production path is sdtw_candidates.)"""
         if self.use_pallas and not std:
             Q = qb.shape[1]
             td = 512
@@ -242,6 +261,88 @@ class Core:
             std=std,
         )
         return np.asarray(lr)
+
+    def sdtw_candidates(
+        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full device path: sDTW engine + fused on-device window-argmin /
+        top-5 (ops/candidates_dev.py). Only (B, 5) scores + positions cross
+        the host link for full-length reads; clipped reads (qlen != W) get
+        a per-read host window scan on their extracted last row.
+        Returns (top_scores, top_pos_global), both (B, 5)."""
+        R = self.ref_cat.shape[0]
+        W = self.opt.query_size
+        qlens_dev = jnp.asarray(qlens.astype(np.int32))
+        if self.use_pallas:
+            Q = qb.shape[1]
+            td = 512
+            if Q not in self._wf_cache:
+                self._wf_cache[Q] = prepare_wavefront_inputs(
+                    self.ref_cat, self.reset, Q, td=td
+                )
+            ypad, rspad, D = self._wf_cache[Q]
+            scores = sdtw_wavefront(
+                jnp.asarray(qb),
+                jnp.asarray(onehot),
+                jnp.asarray(ypad),
+                jnp.asarray(rspad),
+                td=td,
+            )
+            reindex = True
+        else:
+            scores = sdtw_scan(
+                jnp.asarray(qb),
+                jnp.asarray(onehot),
+                self.ref_cat_dev,
+                self.reset_dev,
+                ckpt=self.opt.ckpt,
+                std=False,
+            )
+            reindex = False
+        top_s, top_p = device_window_top5(
+            scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex
+        )
+        top_s = np.asarray(top_s)
+        top_p = np.asarray(top_p)
+
+        # host fallback for clipped reads whose window width != W
+        odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
+        for b in odd:
+            if reindex:
+                lr_row = np.asarray(
+                    device_extract_last_row(scores, qlens_dev, b, R)
+                )
+            else:
+                lr_row = np.asarray(scores[b, :R])
+            s5, p5 = self._host_top5(lr_row, int(qlens[b]))
+            top_s[b] = s5
+            top_p[b] = p5
+        return top_s, top_p
+
+    def _host_top5(self, lr_row: np.ndarray, qlen: int):
+        """Window scan + update_aln top-5 for one read (exact reference
+        semantics, arbitrary window width)."""
+        from ..ops.candidates import window_argmin
+
+        cand_s: list[float] = []
+        cand_p: list[int] = []
+        for t in range(len(self.tracks)):
+            lo = int(self.track_offsets[t])
+            size = self.track_sizes[t]
+            mins, args = window_argmin(lr_row[lo : lo + size], qlen)
+            cand_s.extend(mins.tolist())
+            cand_p.extend((args + lo).tolist())
+        s = np.asarray(cand_s, dtype=np.float32)
+        p = np.asarray(cand_p, dtype=np.int64)
+        out_s = np.full(5, np.float32(3.0e38))
+        out_p = np.full(5, -1, dtype=np.int64)
+        for k in range(min(5, s.size)):
+            rev = s[::-1]
+            best = s.size - 1 - int(np.argmin(rev))  # later wins ties
+            out_s[k] = s[best]
+            out_p[k] = p[best]
+            s[best] = np.float32(np.inf)
+        return out_s, out_p
 
     def close(self) -> None:
         self.sf.close()
@@ -414,45 +515,59 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
         bucket *= 2
     bucket = min(bucket, max(64, opt.batch_size))
     while len(queries) < bucket:
-        queries.append(np.zeros(1, dtype=np.float32))  # dummy slot
+        # dummy slots carry a full-width zero query so they ride the
+        # uniform device candidate path (their results are never read)
+        queries.append(np.zeros(max(opt.query_size, 1), dtype=np.float32))
     qb, qlens, onehot = make_query_batch(queries, pad_q=core.pad_q)
-    last_row = core.sdtw_run(qb, qlens, onehot, opt.dtw_std)
 
-    # ---- candidate extraction + ranking (host)
+    # ---- candidate extraction
     offs = core.track_offsets
     ntracks = len(core.tracks)
+
+    if not opt.dtw_std:
+        # fused device path: only (B, 5) candidates cross the host link
+        top_s, top_p = core.sdtw_candidates(qb, qlens, onehot)
+    else:
+        last_row = core.sdtw_run(qb, qlens, onehot, True)
 
     for slot, i in enumerate(live):
         w = works[i]
         qlen = int(qlens[slot])
-        cand_scores: list[float] = []
-        cand_pos: list[int] = []
-        cand_track: list[int] = []
-        for t in range(ntracks):
-            lo, hi = int(offs[t]), int(offs[t + 1])
-            track_scores = last_row[slot, lo:hi]
-            if opt.dtw_std:
-                # single candidate per track: the corner cell
-                # ref sigfish.c:914-925
-                if hi > lo:
-                    cand_scores.append(float(track_scores[-1]))
-                    cand_pos.append(hi - lo - 1)
-                    cand_track.append(t)
+        if not opt.dtw_std:
+            s0 = float(top_s[slot, 0])
+            if top_p[slot, 0] < 0 or s0 >= 1e37:
+                w.out = None
                 continue
-            mins, args = window_argmin(track_scores, qlen)
-            cand_scores.extend(mins.tolist())
-            cand_pos.extend(args.tolist())
-            cand_track.extend([t] * mins.size)
-
-        best, d1, d2 = rank_candidates(
-            np.asarray(cand_scores, dtype=np.float32), np.asarray(cand_pos)
-        )
-        if best < 0:
-            w.out = None
-            continue
-        t = cand_track[best]
-        rid, strand = core.track_meta[t]
-        pos_end_local = int(cand_pos[best])
+            d1 = s0
+            d2 = float(top_s[slot, 1])
+            if d2 >= 1e37:
+                d2 = float("inf")
+            pos_global = int(top_p[slot, 0])
+            t = int(np.searchsorted(offs, pos_global, side="right")) - 1
+            rid, strand = core.track_meta[t]
+            pos_end_local = pos_global - int(offs[t])
+        else:
+            # single candidate per track: the corner cell
+            # ref sigfish.c:914-925
+            cand_scores: list[float] = []
+            cand_pos: list[int] = []
+            cand_track: list[int] = []
+            for t in range(ntracks):
+                lo = int(offs[t])
+                size = core.track_sizes[t]
+                if size > 0:
+                    cand_scores.append(float(last_row[slot, lo + size - 1]))
+                    cand_pos.append(size - 1)
+                    cand_track.append(t)
+            best, d1, d2 = rank_candidates(
+                np.asarray(cand_scores, dtype=np.float32), np.asarray(cand_pos)
+            )
+            if best < 0:
+                w.out = None
+                continue
+            t = cand_track[best]
+            rid, strand = core.track_meta[t]
+            pos_end_local = int(cand_pos[best])
 
         pos_st_local, r2q = _backtrack_best(core, w, t, pos_end_local)
 
