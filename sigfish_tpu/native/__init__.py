@@ -1,0 +1,160 @@
+"""ctypes loader for the native host kernels (csrc/sigfish_native.cpp).
+
+Builds on first import with g++ (cached by source mtime); every entry
+point has a pure-Python fallback in ops/, so import never fails hard --
+`available` reports whether the fast path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csrc", "sigfish_native.cpp")
+_SO = os.path.join(_HERE, "_sigfish_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        cmd = [
+            "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
+            "-o", _SO, _SRC,
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            sys.stderr.write(f"[native] build failed:\n{r.stderr}\n")
+            return False
+        return True
+    except Exception as e:  # compiler missing etc.
+        sys.stderr.write(f"[native] build error: {e}\n")
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    need = (not os.path.exists(_SO)) or (
+        os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    )
+    if need and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        sys.stderr.write(f"[native] load error: {e}\n")
+        return None
+
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    lib.sf_subsequence.argtypes = [f32p, ctypes.c_int32, f32p, ctypes.c_int32, f32p]
+    lib.sf_subsequence.restype = None
+    lib.sf_std_dtw.argtypes = [
+        f32p, ctypes.c_int32, f32p, ctypes.c_int32, f32p, ctypes.c_int32
+    ]
+    lib.sf_std_dtw.restype = None
+    lib.sf_path.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p]
+    lib.sf_path.restype = ctypes.c_int32
+    lib.sf_subsequence_path.argtypes = lib.sf_path.argtypes
+    lib.sf_subsequence_path.restype = ctypes.c_int32
+    lib.sf_detect_events.argtypes = [
+        f32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float,
+        i64p, f32p, f32p, f32p,
+    ]
+    lib.sf_detect_events.restype = ctypes.c_int32
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def subsequence_cost(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact scalar-order subsequence DP (n, m). None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    cost = np.empty((x.size, y.size), np.float32)
+    lib.sf_subsequence(x, x.size, y, y.size, cost.reshape(-1))
+    return cost
+
+def std_dtw_cost(x: np.ndarray, y: np.ndarray, squared: bool = False) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    cost = np.empty((x.size, y.size), np.float32)
+    lib.sf_std_dtw(x, x.size, y, y.size, cost.reshape(-1), int(squared))
+    return cost
+
+
+def subsequence_path(cost: np.ndarray, starty: int):
+    """Backtrack + row-0 stutter strip; returns (px, py) int arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, m = cost.shape
+    px = np.empty(n + m + 2, np.int32)
+    py = np.empty(n + m + 2, np.int32)
+    cost = np.ascontiguousarray(cost, np.float32)
+    k = lib.sf_subsequence_path(cost.reshape(-1), n, m, int(starty), px, py)
+    return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def path(cost: np.ndarray, starty: int):
+    lib = _load()
+    if lib is None:
+        return None
+    n, m = cost.shape
+    px = np.empty(n + m + 2, np.int32)
+    py = np.empty(n + m + 2, np.int32)
+    cost = np.ascontiguousarray(cost, np.float32)
+    k = lib.sf_path(cost.reshape(-1), n, m, int(starty), px, py)
+    return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def detect_events(signal_pa: np.ndarray, rna: bool = False):
+    """Native event segmentation; returns (start u64, length f32,
+    mean f32, stdv f32) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..ops.events import DNA_PARAMS, RNA_PARAMS
+
+    p = RNA_PARAMS if rna else DNA_PARAMS
+    sig = np.ascontiguousarray(signal_pa, np.float32)
+    n = sig.size
+    cap = n + 2
+    ev_start = np.empty(cap, np.int64)
+    ev_len = np.empty(cap, np.float32)
+    ev_mean = np.empty(cap, np.float32)
+    ev_stdv = np.empty(cap, np.float32)
+    k = lib.sf_detect_events(
+        sig, n,
+        p["window_length1"], p["window_length2"],
+        p["threshold1"], p["threshold2"], p["peak_height"],
+        ev_start, ev_len, ev_mean, ev_stdv,
+    )
+    if k < 0:
+        return None
+    return (
+        ev_start[:k].astype(np.uint64),
+        ev_len[:k].copy(),
+        ev_mean[:k].copy(),
+        ev_stdv[:k].copy(),
+    )

@@ -1,0 +1,267 @@
+// Native host-side kernels for sigfish-tpu.
+//
+// The TPU owns the batched sDTW scoring; these are the sequential,
+// data-dependent host stages where scalar order matters for exactness
+// and Python is 50-100x too slow on the per-read path:
+//
+//   - subsequence/standard DTW window recompute for winner backtracking
+//     (semantics of sigfish src/cdtw.c:70-94,172-189; scalar operation
+//     order preserved so float comparisons match the C reference)
+//   - greedy path backtrack with the reference's tie-breaks
+//     (src/cdtw.c:98-167: diag > left > up on float equality, and the
+//     row-0 stutter strip of subsequence_path, src/cdtw.c:192-227)
+//   - t-test event segmentation (src/events.c Scrappie-derived detector;
+//     exact port of the validated Python oracle in ops/events.py,
+//     including the reference's float/double mixing)
+//
+// Exposed with a plain C ABI and driven from Python via ctypes (no
+// pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cfloat>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------- DTW
+
+// Subsequence DP over a column window, exact scalar order.
+// x: query (n), y: ref columns (m), cost out (n*m) row-major [i*m+j].
+// First column is cumulative (window-local free start; callers retry
+// with a wider window if the backtrack touches the left edge).
+// ref: subsequence cdtw.c:172-189.
+void sf_subsequence(const float* x, int32_t n, const float* y, int32_t m,
+                    float* cost) {
+    for (int32_t j = 0; j < m; j++) cost[j] = fabsf(x[0] - y[j]);
+    float acc = cost[0];
+    for (int32_t i = 1; i < n; i++) {
+        acc += fabsf(x[i] - y[0]);
+        cost[(int64_t)i * m] = acc;
+    }
+    for (int32_t i = 1; i < n; i++) {
+        const float xi = x[i];
+        const float* prev = cost + (int64_t)(i - 1) * m;
+        float* cur = cost + (int64_t)i * m;
+        float up_acc = cur[0];
+        for (int32_t j = 1; j < m; j++) {
+            float mn = prev[j];                      // left in col scan
+            if (prev[j - 1] < mn) mn = prev[j - 1];  // diag
+            if (up_acc < mn) mn = up_acc;            // up (this row, j-1)
+            up_acc = fabsf(xi - y[j]) + mn;
+            cur[j] = up_acc;
+        }
+    }
+}
+
+// Standard DTW (boundary anchored). ref: std_dtw cdtw.c:70-94.
+void sf_std_dtw(const float* x, int32_t n, const float* y, int32_t m,
+                float* cost, int32_t squared) {
+#define DIST(a, b) (squared ? ((a) - (b)) * ((a) - (b)) : fabsf((a) - (b)))
+    cost[0] = DIST(x[0], y[0]);
+    for (int32_t j = 1; j < m; j++) cost[j] = cost[j - 1] + DIST(x[0], y[j]);
+    for (int32_t i = 1; i < n; i++)
+        cost[(int64_t)i * m] = cost[(int64_t)(i - 1) * m] + DIST(x[i], y[0]);
+    for (int32_t i = 1; i < n; i++) {
+        const float xi = x[i];
+        const float* prev = cost + (int64_t)(i - 1) * m;
+        float* cur = cost + (int64_t)i * m;
+        for (int32_t j = 1; j < m; j++) {
+            float mn = prev[j];
+            if (prev[j - 1] < mn) mn = prev[j - 1];
+            if (cur[j - 1] < mn) mn = cur[j - 1];
+            cur[j] = DIST(xi, y[j]) + mn;
+        }
+    }
+#undef DIST
+}
+
+// Greedy backtrack from (n-1, starty); px/py must hold n+m entries.
+// Returns path length k (forward order). ref: path cdtw.c:98-167.
+int32_t sf_path(const float* cost, int32_t n, int32_t m, int32_t starty,
+                int32_t* px, int32_t* py) {
+    int32_t i = n - 1, j = starty;
+    int32_t k = 0;
+    px[k] = i; py[k] = j; k++;
+    while (i > 0 || j > 0) {
+        if (i == 0) {
+            j--;
+        } else if (j == 0) {
+            i--;
+        } else {
+            float up = cost[(int64_t)(i - 1) * m + j];
+            float diag = cost[(int64_t)(i - 1) * m + j - 1];
+            float left = cost[(int64_t)i * m + j - 1];
+            float mn = up;
+            if (diag < mn) mn = diag;
+            if (left < mn) mn = left;
+            if (diag == mn) { i--; j--; }
+            else if (left == mn) { j--; }
+            else { i--; }
+        }
+        px[k] = i; py[k] = j; k++;
+    }
+    for (int32_t a = 0, b = k - 1; a < b; a++, b--) {
+        int32_t t = px[a]; px[a] = px[b]; px[b] = t;
+        t = py[a]; py[a] = py[b]; py[b] = t;
+    }
+    return k;
+}
+
+// Subsequence backtrack: path then strip the leading row-0 stutter,
+// keeping the last row-0 entry. Returns new length; shifts in place.
+// ref: subsequence_path cdtw.c:192-227.
+int32_t sf_subsequence_path(const float* cost, int32_t n, int32_t m,
+                            int32_t starty, int32_t* px, int32_t* py) {
+    int32_t k = sf_path(cost, n, m, starty, px, py);
+    int32_t a_star = 0;
+    for (int32_t i = 1; i < k; i++) {
+        if (px[i] == 0) a_star++;
+        else break;
+    }
+    if (a_star > 0) {
+        memmove(px, px + a_star, sizeof(int32_t) * (k - a_star));
+        memmove(py, py + a_star, sizeof(int32_t) * (k - a_star));
+    }
+    return k - a_star;
+}
+
+// ------------------------------------------------------------- events
+
+// t-test event segmentation, one call per read. Exact port of
+// ops/events.py (itself validated against src/events.c semantics).
+// Outputs sized <= nsample+1; returns the event count.
+int32_t sf_detect_events(const float* sig, int64_t nsample,
+                         int32_t w1, int32_t w2, float t1f, float t2f,
+                         float peak_height,
+                         int64_t* ev_start, float* ev_len,
+                         float* ev_mean, float* ev_stdv) {
+    if (nsample <= 0) return 0;
+    // prefix sums in double over float32 data (events.c:297-307)
+    double* sums = (double*)malloc(sizeof(double) * (nsample + 1));
+    double* sumsqs = (double*)malloc(sizeof(double) * (nsample + 1));
+    float* tstat[2];
+    tstat[0] = (float*)calloc(nsample, sizeof(float));
+    tstat[1] = (float*)calloc(nsample, sizeof(float));
+    if (!sums || !sumsqs || !tstat[0] || !tstat[1]) {
+        free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]);
+        return -1;
+    }
+    sums[0] = 0.0; sumsqs[0] = 0.0;
+    for (int64_t i = 0; i < nsample; i++) {
+        double v = (double)sig[i];
+        sums[i + 1] = sums[i] + v;
+        sumsqs[i + 1] = sumsqs[i] + v * v;
+    }
+
+    // two sliding Welch t-stats (events.c:319-368, incl. the reference's
+    // float casts on the right window / means)
+    const double eta = (double)FLT_MIN;
+    const int32_t ws[2] = {w1, w2};
+    for (int p = 0; p < 2; p++) {
+        int32_t w = ws[p];
+        float* tst = tstat[p];
+        if (nsample < 2 * (int64_t)w || w < 2) continue;
+        double wf = (double)(float)w;
+        for (int64_t i = w; i <= nsample - w; i++) {
+            double sum1 = sums[i] - sums[i - w];
+            double sumsq1 = sumsqs[i] - sumsqs[i - w];
+            double sum2 = (double)(float)(sums[i + w] - sums[i]);
+            double sumsq2 = (double)(float)(sumsqs[i + w] - sumsqs[i]);
+            double mean1 = (double)(float)(sum1 / wf);
+            double mean2 = (double)(float)(sum2 / wf);
+            double combined_var =
+                sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2;
+            if (combined_var < eta) combined_var = eta;
+            double delta_mean = mean2 - mean1;
+            double t = fabs(delta_mean) / sqrt(combined_var / wf);
+            tst[i] = (float)t;
+        }
+    }
+
+    // coupled short/long peak detector state machine
+    // (exact port of ops/events.py:119-146 / events.c:375-447)
+    struct Det {
+        const float* signal;
+        float threshold;
+        int32_t window_length;
+        int64_t masked_to;
+        int64_t peak_pos;
+        float peak_value;
+        int32_t valid_peak;
+    };
+    Det dets[2] = {
+        {tstat[0], t1f, w1, 0, -1, FLT_MAX, 0},
+        {tstat[1], t2f, w2, 0, -1, FLT_MAX, 0},
+    };
+    int64_t* peaks = (int64_t*)malloc(sizeof(int64_t) * (nsample + 1));
+    if (!peaks) {
+        free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]);
+        return -1;
+    }
+    int64_t npeak = 0;
+    for (int64_t i = 0; i < nsample; i++) {
+        for (int k = 0; k < 2; k++) {
+            Det* det = &dets[k];
+            if (det->masked_to >= i) continue;
+            float current_value = det->signal[i];
+            if (det->peak_pos == -1) {
+                if (current_value < det->peak_value) {
+                    det->peak_value = current_value;
+                } else if (current_value - det->peak_value > peak_height) {
+                    det->peak_value = current_value;
+                    det->peak_pos = i;
+                }
+            } else {
+                if (current_value > det->peak_value) {
+                    det->peak_value = current_value;
+                    det->peak_pos = i;
+                }
+                if (k == 0 && det->peak_value > det->threshold) {
+                    dets[1].masked_to = det->peak_pos + det->window_length;
+                    dets[1].peak_pos = -1;
+                    dets[1].peak_value = FLT_MAX;
+                    dets[1].valid_peak = 0;
+                }
+                if (det->peak_value - current_value > peak_height &&
+                    det->peak_value > det->threshold) {
+                    det->valid_peak = 1;
+                }
+                if (det->valid_peak &&
+                    (i - det->peak_pos) > det->window_length / 2) {
+                    peaks[npeak++] = det->peak_pos;
+                    det->peak_pos = -1;
+                    det->peak_value = current_value;
+                    det->valid_peak = 0;
+                }
+            }
+        }
+    }
+
+    // events from boundaries (events.c:461-508); keep peaks in
+    // (0, nsample)
+    int32_t nev = 0;
+    int64_t start = 0;
+    for (int64_t p = 0; p <= npeak; p++) {
+        int64_t end = (p < npeak) ? peaks[p] : nsample;
+        if (p < npeak && (end <= 0 || end >= nsample)) continue;
+        // emit [start, end) -- zero-length events are kept, matching the
+        // reference (create_events emits every boundary pair)
+        float lenf = (float)(end - start);
+        float mean = (float)(sums[end] - sums[start]) / lenf;
+        float deltasqr = (float)(sumsqs[end] - sumsqs[start]);
+        float var = deltasqr / lenf - mean * mean;
+        if (var < 0.0f) var = 0.0f;
+        ev_start[nev] = start;
+        ev_len[nev] = lenf;
+        ev_mean[nev] = mean;
+        ev_stdv[nev] = sqrtf(var);
+        nev++;
+        start = end;
+    }
+    free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]); free(peaks);
+    return nev;
+}
+
+}  // extern "C"

@@ -195,5 +195,11 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
 
 def get_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
     """Public entry matching getevents(); no raw trimming (dead code in
-    reference, events.c:557-576)."""
+    reference, events.c:557-576). Uses the native (C++) detector when
+    built -- bit-exact against this module (tests/test_native.py)."""
+    from .. import native
+
+    res = native.detect_events(signal_pa, rna=rna)
+    if res is not None:
+        return EventTable(start=res[0], length=res[1], mean=res[2], stdv=res[3])
     return detect_events(signal_pa, rna=rna)

@@ -466,12 +466,21 @@ def _backtrack_best(
     pos_global = track_start + pos_local
     qlen = w.query.size
 
+    from .. import native
+
     span = pos_local + 1 if opt.dtw_std else min(max(3 * qlen, 64), pos_local + 1)
     while True:
         j_lo = pos_global + 1 - span
         ref_cols = core.ref_cat[j_lo : pos_global + 1]
-        cost = subsequence_cost_seeded(w.query, ref_cols, None, std=opt.dtw_std)
-        px, py = subsequence_path(cost, span - 1)
+        if native.available():
+            if opt.dtw_std:
+                cost = native.std_dtw_cost(w.query, ref_cols)
+            else:
+                cost = native.subsequence_cost(w.query, ref_cols)
+            px, py = native.subsequence_path(cost, span - 1)
+        else:
+            cost = subsequence_cost_seeded(w.query, ref_cols, None, std=opt.dtw_std)
+            px, py = subsequence_path(cost, span - 1)
         if py[0] == 0 and j_lo > track_start:
             # path touched the recompute window's left edge: widen
             span = min(span * 2, pos_local + 1)

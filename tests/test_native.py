@@ -1,0 +1,59 @@
+"""Native (C++) kernels vs Python oracles: bit-exact requirements."""
+
+import numpy as np
+import pytest
+
+import sigfish_tpu.native as nat
+from sigfish_tpu.ops.events import detect_events
+from sigfish_tpu.ops.sdtw_ref import (
+    std_dtw_cost as py_std,
+    subsequence_cost as py_sub,
+    subsequence_path as py_path,
+)
+
+pytestmark = pytest.mark.skipif(not nat.available(), reason="no native build")
+
+
+def test_subsequence_bit_exact():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(80).astype(np.float32)
+    y = rng.standard_normal(333).astype(np.float32)
+    np.testing.assert_array_equal(nat.subsequence_cost(x, y), np.asarray(py_sub(x, y)))
+
+
+def test_std_dtw_bit_exact():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(60).astype(np.float32)
+    y = rng.standard_normal(200).astype(np.float32)
+    np.testing.assert_array_equal(nat.std_dtw_cost(x, y), np.asarray(py_std(x, y)))
+
+
+def test_path_identical():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(50).astype(np.float32)
+    y = rng.standard_normal(400).astype(np.float32)
+    cost = np.asarray(py_sub(x, y))
+    for starty in (10, 200, 399, int(cost[-1].argmin())):
+        pxn, pyn = nat.subsequence_path(cost, starty)
+        pxp, pyp = py_path(cost, starty)
+        np.testing.assert_array_equal(pxn, pxp)
+        np.testing.assert_array_equal(pyn, pyp)
+
+
+def test_events_bit_exact_both_chemistries():
+    from sigfish_tpu.io.blow5 import Slow5File
+
+    for path, rna in (
+        ("/root/reference/test/sp1_dna.blow5", False),
+        ("/root/reference/test/sequin_rna.blow5", True),
+    ):
+        sf = Slow5File(path)
+        for rec in sf:
+            pa = rec.to_pa()
+            et = detect_events(pa, rna=rna)
+            st, ln, mn, sd = nat.detect_events(pa, rna=rna)
+            np.testing.assert_array_equal(st, et.start)
+            np.testing.assert_array_equal(ln, et.length)
+            np.testing.assert_array_equal(mn, et.mean)
+            np.testing.assert_array_equal(sd, et.stdv)
+        sf.close()
