@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: DNA read-mapping throughput on one TPU chip.
+
+Workload: the 5 in-repo sp1_dna reads replicated to 3000 reads (written
+as a real BLOW5 via the package's writer), mapped against nCoV-2019 with
+default settings (q=250, both strands) -- the reference's own quick-test
+case at steady-state scale.
+
+Baseline: C sigfish (reference @ /root/reference, built with the same
+trained k-mer model via --kmer-model) on this host, `-t 8`:
+3000 reads / 124.3 s = 24.1 reads/s (measured 2026-08-16 on the bench
+host; single hardware core, so threads don't help the C build).
+
+Prints one JSON line: reads/s through the full pipeline (BLOW5 decode ->
+events -> normalise -> batched sDTW on device + fused candidate top-5 ->
+backtrack -> PAF), excluding one warmup batch worth of compile time.
+"""
+
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+REF_FASTA = "/root/reference/test/nCoV-2019.reference.fasta"
+REF_BLOW5 = "/root/reference/test/sp1_dna.blow5"
+BASELINE_READS_PER_S = 24.1  # C sigfish -t 8, this host (see module docstring)
+N_COPIES = 600  # 5 reads x 600 = 3000 reads
+
+
+def build_workload(path: str) -> int:
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+
+    src = Slow5File(REF_BLOW5)
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    with Slow5Writer(path, header_data=hdr) as w:
+        for i in range(N_COPIES):
+            for r in recs:
+                w.write_record(
+                    Slow5Record(
+                        read_id=f"{r.read_id}_{i}",
+                        read_group=r.read_group,
+                        digitisation=r.digitisation,
+                        offset=r.offset,
+                        range=r.range,
+                        sampling_rate=r.sampling_rate,
+                        raw_signal=r.raw_signal,
+                    )
+                )
+    return len(recs) * N_COPIES
+
+
+def main() -> None:
+    from sigfish_tpu.runtime.pipeline import Core, Options, process_batch
+
+    tmp = tempfile.mktemp(suffix=".blow5")
+    try:
+        n_reads = build_workload(tmp)
+        opt = Options()
+        core = Core(REF_FASTA, tmp, opt)
+
+        # warmup: first batch pays device compile
+        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+        process_batch(core, blobs)
+        warm_reads = len(blobs)
+
+        t0 = time.time()
+        done = warm_reads
+        sink = io.StringIO()
+        while True:
+            blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+            if not blobs:
+                break
+            lines, stats = process_batch(core, blobs)
+            for ln in lines:
+                if ln is not None:
+                    sink.write(ln)
+            done += stats.n_rec
+        dt = time.time() - t0
+        core.close()
+        measured = done - warm_reads
+        rps = measured / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "dna_reads_per_s_1chip",
+                    "value": round(rps, 1),
+                    "unit": "reads/s",
+                    "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
+                }
+            )
+        )
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+if __name__ == "__main__":
+    main()
