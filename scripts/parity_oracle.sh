@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# Differential parity: our pipeline vs the C reference binary, both using
+# the same trained k-mer model (--kmer-model), across the option matrix.
+#
+# The reference cannot ship its builtin models (src/model.h is a stripped
+# blob), but read_model() accepts nanopolish-style TSVs, so byte-level
+# parity is checked end-to-end with OUR trained model on both sides.
+#
+# Setup (once):
+#   cp -r /root/reference /tmp/refbuild
+#   printf '%s\n' '#ifndef MODEL_H' '#define MODEL_H' \
+#     'static float r9_4_450bps_nucleotide_6mer_template_model_builtin_data[4096*2];' \
+#     'static float r9_4_70bps_u_to_t_rna_5mer_template_model_builtin_data[1024*2];' \
+#     'static float r10_4_400bps_nucleotide_9mer_template_model_builtin_data[262144*2];' \
+#     'static float rna004_130bps_u_to_t_rna_9mer_template_model_builtin_data[262144*2];' \
+#     '#endif' > /tmp/refbuild/src/model.h
+#   make -C /tmp/refbuild -j8
+#   python -m sigfish_tpu.models.export_tsv   # writes /tmp/sigfish_models/*.tsv
+set -u
+ORACLE=${ORACLE:-/tmp/refbuild/sigfish}
+REF=${REF:-/root/reference/test}
+DNA_TSV=${DNA_TSV:-/tmp/sigfish_models/r9.4_dna_6mer.tsv}
+RNA_TSV=${RNA_TSV:-/tmp/sigfish_models/r9.4_rna_5mer.tsv}
+OUT=${OUT:-/tmp/parity}
+mkdir -p "$OUT"
+PASS=0; FAIL=0
+
+run_case() {
+  local name="$1"; shift
+  local model="$1"; shift
+  timeout 600 "$ORACLE" dtw "$@" --kmer-model "$model" -t 1 \
+      > "$OUT/$name.oracle" 2>/dev/null
+  timeout 600 python -m sigfish_tpu.cli dtw "$@" --kmer-model "$model" \
+      > "$OUT/$name.ours" 2>/dev/null
+  if diff -q "$OUT/$name.oracle" "$OUT/$name.ours" > /dev/null; then
+    echo "PASS $name (byte-identical)"
+    PASS=$((PASS+1))
+  else
+    local no=$(wc -l < "$OUT/$name.oracle")
+    local nu=$(wc -l < "$OUT/$name.ours")
+    local nd=$(diff "$OUT/$name.oracle" "$OUT/$name.ours" | grep -c '^<')
+    echo "DIFF $name: $nd/$no lines differ (ours: $nu)"
+    FAIL=$((FAIL+1))
+  fi
+}
+
+DNA_ARGS="$REF/nCoV-2019.reference.fasta $REF/sp1_dna.blow5"
+RNA_ARGS="$REF/rnasequin_sequences_2.4.fa $REF/sequin_rna.blow5"
+
+run_case dna_default   "$DNA_TSV" $DNA_ARGS
+run_case dna_from_end  "$DNA_TSV" $DNA_ARGS --from-end
+run_case dna_q100      "$DNA_TSV" $DNA_ARGS -q 100
+run_case dna_p30       "$DNA_TSV" $DNA_ARGS -p 30
+run_case dna_sam       "$DNA_TSV" $DNA_ARGS --sam
+run_case rna_default   "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1
+run_case rna_fullref   "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1 --full-ref
+run_case rna_from_end  "$RNA_TSV" $RNA_ARGS --rna -q 500 --from-end
+run_case rna_dtw_std   "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1 --dtw-std
+run_case rna_sam       "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1 --sam
+run_case rna_invert    "$RNA_TSV" $RNA_ARGS --rna -q 500 --invert --full-ref -p 0
+
+# eval subtool output parity
+"$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
+    > "$OUT/eval.oracle" 2>/dev/null
+python -m sigfish_tpu.cli eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
+    > "$OUT/eval.ours" 2>/dev/null
+if diff -q "$OUT/eval.oracle" "$OUT/eval.ours" > /dev/null; then
+  echo "PASS eval (byte-identical)"; PASS=$((PASS+1))
+else
+  echo "DIFF eval"; diff "$OUT/eval.oracle" "$OUT/eval.ours" | head -10
+  FAIL=$((FAIL+1))
+fi
+
+echo "== $PASS pass, $FAIL diff =="

@@ -16,6 +16,6 @@ Reference parity is documented per module via `ref:` citations of the
 sigfish C sources (file:line).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # capability parity with sigfish 0.2.0 (SAM @PG VN)
 
 SIGFISH_TPU_VERSION = __version__

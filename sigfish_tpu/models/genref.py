@@ -78,8 +78,18 @@ def kmer_ranks(seq_bytes: np.ndarray, k: int, warn_non_acgt: bool = True) -> np.
 
 
 def zscore_f32(x: np.ndarray) -> np.ndarray:
-    """Population z-score in float32. ref: normalise genref.c:23-47."""
-    x = x.astype(np.float32)
+    """Population z-score in float32. ref: normalise genref.c:23-47.
+
+    Uses the native sequential-f32 accumulator when built: the reference
+    accumulates mean/var in a scalar f32 chain, and numpy's pairwise
+    summation rounds differently on long tracks (visible as %.2f-level
+    DP score drift on the 29,898-event nCoV track)."""
+    from .. import native
+
+    x = np.ascontiguousarray(x, np.float32)
+    out = x.copy()
+    if native.zscore_inplace(out):
+        return out
     m = np.float32(x.mean(dtype=np.float32))
     v = np.float32(np.mean((x - m) * (x - m), dtype=np.float32))
     s = np.float32(np.sqrt(v))

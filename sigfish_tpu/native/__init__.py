@@ -73,6 +73,8 @@ def _load():
         i64p, f32p, f32p, f32p,
     ]
     lib.sf_detect_events.restype = ctypes.c_int32
+    lib.sf_zscore.argtypes = [f32p, ctypes.c_int64]
+    lib.sf_zscore.restype = None
     _lib = lib
     return lib
 
@@ -126,6 +128,17 @@ def path(cost: np.ndarray, starty: int):
     cost = np.ascontiguousarray(cost, np.float32)
     k = lib.sf_path(cost.reshape(-1), n, m, int(starty), px, py)
     return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def zscore_inplace(x: np.ndarray) -> bool:
+    """Sequential-f32 population z-score (reference summation order,
+    genref.c:23-47 / sigfish.c:483-502). Returns False if unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
+    lib.sf_zscore(x, x.size)
+    return True
 
 
 def detect_events(signal_pa: np.ndarray, rna: bool = False):

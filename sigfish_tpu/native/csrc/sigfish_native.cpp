@@ -127,6 +127,26 @@ int32_t sf_subsequence_path(const float* cost, int32_t n, int32_t m,
     return k - a_star;
 }
 
+// ------------------------------------------------------------ zscore
+
+// In-place population z-score with *sequential* float32 accumulation --
+// the exact summation order of the reference (genref.c:23-47 for tracks,
+// sigfish.c:483-502 for query slices). numpy's pairwise summation
+// rounds differently on long tracks (29,898 events shifts the mean by
+// ~1e-4), which was the source of %.2f-level score drift vs the C
+// binary.
+void sf_zscore(float* x, int64_t n) {
+    if (n <= 0) return;
+    float mean = 0.0f;
+    for (int64_t j = 0; j < n; j++) mean += x[j];
+    mean /= (float)n;
+    float var = 0.0f;
+    for (int64_t j = 0; j < n; j++) var += (x[j] - mean) * (x[j] - mean);
+    var /= (float)n;
+    float stdv = (float)sqrt((double)var);
+    for (int64_t j = 0; j < n; j++) x[j] = (x[j] - mean) / stdv;
+}
+
 // ------------------------------------------------------------- events
 
 // t-test event segmentation, one call per read. Exact port of
@@ -155,28 +175,37 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         sumsqs[i + 1] = sumsqs[i] + v * v;
     }
 
-    // two sliding Welch t-stats (events.c:319-368, incl. the reference's
-    // float casts on the right window / means)
-    const double eta = (double)FLT_MIN;
+    // two sliding Welch t-stats: bit-exact port of events.c:319-368 --
+    // the reference's float/double mixing is reproduced operation by
+    // operation (float divisions for the right window, float mean
+    // squares, double left-window terms), because a 1-ulp t-stat
+    // difference at a threshold flips an event boundary
+    const float eta = FLT_MIN;
     const int32_t ws[2] = {w1, w2};
     for (int p = 0; p < 2; p++) {
         int32_t w = ws[p];
         float* tst = tstat[p];
         if (nsample < 2 * (int64_t)w || w < 2) continue;
-        double wf = (double)(float)w;
+        const float w_lengthf = (float)w;
         for (int64_t i = w; i <= nsample - w; i++) {
-            double sum1 = sums[i] - sums[i - w];
-            double sumsq1 = sumsqs[i] - sumsqs[i - w];
-            double sum2 = (double)(float)(sums[i + w] - sums[i]);
-            double sumsq2 = (double)(float)(sumsqs[i + w] - sumsqs[i]);
-            double mean1 = (double)(float)(sum1 / wf);
-            double mean2 = (double)(float)(sum2 / wf);
-            double combined_var =
-                sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2;
-            if (combined_var < eta) combined_var = eta;
-            double delta_mean = mean2 - mean1;
-            double t = fabs(delta_mean) / sqrt(combined_var / wf);
-            tst[i] = (float)t;
+            double sum1 = sums[i];
+            double sumsq1 = sumsqs[i];
+            if (i > w) {
+                sum1 -= sums[i - w];
+                sumsq1 -= sumsqs[i - w];
+            }
+            float sum2 = (float)(sums[i + w] - sums[i]);
+            float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+            float mean1 = (float)(sum1 / w_lengthf);
+            float mean2 = sum2 / w_lengthf;
+            float combined_var = (float)(sumsq1 / w_lengthf -
+                                         mean1 * mean1 +
+                                         sumsq2 / w_lengthf -
+                                         mean2 * mean2);
+            combined_var = fmaxf(combined_var, eta);
+            const float delta_mean = mean2 - mean1;
+            tst[i] = (float)(fabs(delta_mean) /
+                             sqrt(combined_var / w_lengthf));
         }
     }
 

@@ -63,24 +63,40 @@ def compute_prefix_sums(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def compute_tstat(sums: np.ndarray, sumsqs: np.ndarray, d_length: int, w: int) -> np.ndarray:
-    """Windowed two-sample t-statistic. ref: events.c:319-368."""
+    """Windowed two-sample t-statistic, bit-exact with events.c:319-368.
+
+    The reference mixes float and double operation by operation (the
+    right-window sums and their divisions are float, the left-window
+    terms double, the mean squares float); each step here reproduces
+    that exact rounding -- a 1-ulp t-stat difference at a threshold
+    moves an event boundary.
+    """
     tstat = np.zeros(d_length, dtype=np.float32)
     if d_length < 2 * w or w < 2:
         return tstat
-    eta = np.float64(np.finfo(np.float32).tiny)
+    eta = np.float32(np.finfo(np.float32).tiny)
     i = np.arange(w, d_length - w + 1)
-    sum1 = sums[i] - sums[i - w]
+    sum1 = sums[i] - sums[i - w]      # f64 (== sums[i] at i==w, sums[0]=0)
     sumsq1 = sumsqs[i] - sumsqs[i - w]
-    # reference casts the right-window sums to float (events.c:349-350)
-    sum2 = (sums[i + w] - sums[i]).astype(np.float32).astype(np.float64)
-    sumsq2 = (sumsqs[i + w] - sumsqs[i]).astype(np.float32).astype(np.float64)
-    wf = np.float64(np.float32(w))
-    mean1 = (sum1 / wf).astype(np.float32).astype(np.float64)
-    mean2 = (sum2 / wf).astype(np.float32).astype(np.float64)
-    combined_var = sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2
+    wf32 = np.float32(w)
+    wf64 = np.float64(wf32)
+    # float right-window sums (events.c:349-350)
+    sum2 = (sums[i + w] - sums[i]).astype(np.float32)
+    sumsq2 = (sumsqs[i + w] - sumsqs[i]).astype(np.float32)
+    mean1 = (sum1 / wf64).astype(np.float32)        # double div -> float
+    mean2 = sum2 / wf32                             # float division
+    combined_var = (
+        (sumsq1 / wf64)                             # double
+        - (mean1 * mean1).astype(np.float64)        # float mult
+        + (sumsq2 / wf32).astype(np.float64)        # float division
+        - (mean2 * mean2).astype(np.float64)        # float mult
+    ).astype(np.float32)
     combined_var = np.maximum(combined_var, eta)
-    delta_mean = mean2 - mean1
-    tstat[w : d_length - w + 1] = (np.abs(delta_mean) / np.sqrt(combined_var / wf)).astype(np.float32)
+    delta_mean = mean2 - mean1                      # float
+    tstat[w : d_length - w + 1] = (
+        np.abs(delta_mean.astype(np.float64))
+        / np.sqrt((combined_var / wf32).astype(np.float64))
+    ).astype(np.float32)
     return tstat
 
 

@@ -425,13 +425,19 @@ def _prepare_read(core: Core, blob: bytes) -> ReadWork:
     w.qstart = int(start_idx)
     w.qend = int(end_idx)
 
-    # z-score the slice, float32 population stats (ref sigfish.c:483-502)
-    sl = w.event_mean[start_idx:end_idx]
-    num = np.float32(end_idx - start_idx)
-    mean = np.float32(sl.sum(dtype=np.float32) / num)
-    var = np.float32(np.sum((sl - mean) * (sl - mean), dtype=np.float32) / num)
-    stdv = np.float32(np.sqrt(var))
-    sl_norm = (sl - mean) / stdv
+    # z-score the slice, float32 population stats in the reference's
+    # sequential accumulation order (ref sigfish.c:483-502)
+    from .. import native
+
+    sl = np.ascontiguousarray(w.event_mean[start_idx:end_idx], np.float32)
+    if native.zscore_inplace(sl):
+        sl_norm = sl
+    else:
+        num = np.float32(end_idx - start_idx)
+        mean = np.float32(sl.sum(dtype=np.float32) / num)
+        var = np.float32(np.sum((sl - mean) * (sl - mean), dtype=np.float32) / num)
+        stdv = np.float32(np.sqrt(var))
+        sl_norm = (sl - mean) / stdv
     w.event_mean[start_idx:end_idx] = sl_norm
 
     qlen = end_idx - start_idx
