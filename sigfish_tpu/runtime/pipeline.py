@@ -370,35 +370,44 @@ class ReadWork:
     flag_too_short: bool = False
 
 
-def _prepare_read(core: Core, blob: bytes) -> ReadWork:
-    """parse + event + normalise for one read.
-
-    ref: parse_single/event_single/normalise_single sigfish.c:317-505.
-    """
-    opt = core.opt
+def _parse_single(core: Core, blob: bytes) -> ReadWork:
+    """ref: parse_single sigfish.c:317-328."""
     w = ReadWork()
-    rec = core.sf.decode_record(blob)
-    w.rec = rec
-    if rec.len_raw_signal <= 0:
+    w.rec = core.sf.decode_record(blob)
+    if w.rec.len_raw_signal <= 0:
         w.skip = True
-        return w
+    return w
 
-    pa = rec.to_pa()
-    et = get_events(pa, rna=opt.rna)
+
+def _event_single(core: Core, w: ReadWork) -> ReadWork:
+    """ref: event_single sigfish.c:330-378 (pA conversion + getevents)."""
+    if w.skip:
+        return w
+    pa = w.rec.to_pa()
+    et = get_events(pa, rna=core.opt.rna)
     w.event_start = et.start
     w.event_length = et.length
     w.event_mean = et.mean.copy()
     w.n_events = et.n
     if et.n <= 0:
         w.skip = True
-        return w
+    return w
 
-    n = et.n
+
+def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
+    """ref: normalise_single sigfish.c:424-505 (query window + z-score)."""
+    if w.skip:
+        return w
+    opt = core.opt
+    rec = w.rec
+    et_start = w.event_start
+    n = w.n_events
+    pa = rec.to_pa()
     if not opt.from_end:
         start_idx = opt.prefix_size
         if opt.prefix_size < 0:
             start_idx = jnn.detect_query_start(
-                rec.raw_signal, pa, et.start, pore=opt.pore_flag
+                rec.raw_signal, pa, et_start, pore=opt.pore_flag
             )
             if start_idx < 0:
                 w.flag_prefix_fail = True
@@ -447,6 +456,14 @@ def _prepare_read(core: Core, blob: bytes) -> ReadWork:
         w.query = sl_norm.copy()
     assert w.query.size == qlen
     return w
+
+
+def _prepare_read(core: Core, blob: bytes) -> ReadWork:
+    """Fused parse + event + normalise for one read (default mode).
+
+    ref: work_per_single_read sigfish.c:995-1001.
+    """
+    return _normalise_single(core, _event_single(core, _parse_single(core, blob)))
 
 
 def _backtrack_best(
@@ -506,11 +523,30 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
     opt = core.opt
     stats = BatchStats(n_rec=len(blobs), sum_bytes=sum(len(b) for b in blobs))
 
-    # ---- host stages (parallel over reads)
-    if core._pool is not None:
-        works = list(core._pool.map(lambda b: _prepare_read(core, b), blobs))
+    # ---- host stages (parallel over reads); --profile-cpu runs them
+    # stage-by-stage with per-stage wall-clock accumulation
+    # (ref: process_db sigfish.c:1021-1042)
+    import time as _time
+
+    def _map(fn, items):
+        if core._pool is not None:
+            return list(core._pool.map(fn, items))
+        return [fn(x) for x in items]
+
+    if opt.profile:
+        t0 = _time.time()
+        works = _map(lambda b: _parse_single(core, b), blobs)
+        core.parse_time += _time.time() - t0
+        t0 = _time.time()
+        works = _map(lambda w: _event_single(core, w), works)
+        core.event_time += _time.time() - t0
+        t0 = _time.time()
+        works = _map(lambda w: _normalise_single(core, w), works)
+        core.normalise_time += _time.time() - t0
+        dtw_t0 = _time.time()
     else:
-        works = [_prepare_read(core, b) for b in blobs]
+        works = _map(lambda b: _prepare_read(core, b), blobs)
+        dtw_t0 = _time.time()
 
     for w in works:
         stats.prefix_fail += w.flag_prefix_fail
@@ -638,6 +674,8 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
                 query_size,
             )
 
+    if opt.profile:
+        core.dtw_time += _time.time() - dtw_t0
     return [w.out for w in works], stats
 
 
