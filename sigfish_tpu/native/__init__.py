@@ -75,6 +75,18 @@ def _load():
     lib.sf_detect_events.restype = ctypes.c_int32
     lib.sf_zscore.argtypes = [f32p, ctypes.c_int64]
     lib.sf_zscore.restype = None
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.sf_jnn_segments.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_double, ctypes.c_int64, i64p,
+        ctypes.c_int64,
+    ]
+    lib.sf_jnn_segments.restype = ctypes.c_int64
+    lib.sf_jnn_core.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, i64p, ctypes.c_int64,
+    ]
+    lib.sf_jnn_core.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -139,6 +151,34 @@ def zscore_inplace(x: np.ndarray) -> bool:
     assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
     lib.sf_zscore(x, x.size)
     return True
+
+
+def jnn_segments(t: np.ndarray, bot: float, seg_dist: int):
+    """Below-threshold segment extraction (adaptor finder inner loop)."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(t, np.float64)
+    cap = 4096
+    out = np.empty(2 * cap, np.int64)
+    n = lib.sf_jnn_segments(t, t.size, float(bot), int(seg_dist), out, cap)
+    return out[: 2 * n].reshape(-1, 2)
+
+
+def jnn_core_segments(sig: np.ndarray, top: float, bot: float, corrector: int,
+                      seg_dist: int, window: int, stall_len: float, error: int):
+    """Error-tolerant in-range run detector (jnn.c:191-279)."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(sig, np.float64)
+    cap = 4096
+    out = np.empty(2 * cap, np.int64)
+    n = lib.sf_jnn_core(
+        sig, sig.size, float(top), float(bot), int(corrector),
+        int(seg_dist), int(window), float(stall_len), int(error), out, cap,
+    )
+    return out[: 2 * n].reshape(-1, 2)
 
 
 def detect_events(signal_pa: np.ndarray, rna: bool = False):

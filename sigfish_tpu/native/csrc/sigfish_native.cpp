@@ -293,4 +293,92 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
     return nev;
 }
 
+// ---------------------------------------------------------------- jnn
+
+// Segment extractor over a below-threshold mask of the rolling-mean
+// trace (adaptor finder inner loop). Exact port of ops/jnn.py:91-108 /
+// jnn.c:100-180 (merge segments closer than seg_dist).
+// out holds (start, end) pairs; returns segment count (capped).
+int64_t sf_jnn_segments(const double* t, int64_t n, double bot,
+                        int64_t seg_dist, int64_t* out, int64_t cap) {
+    int64_t nseg = 0;
+    bool begin = false;
+    int64_t start = 0, end = 0;
+    for (int64_t j = 0; j < n; j++) {
+        bool below = t[j] < bot;
+        if (below && !begin) {
+            start = j;
+            begin = true;
+        } else if (below) {
+            end = j;
+        } else if (begin) {
+            if (nseg > 0 && start - out[2 * (nseg - 1) + 1] < seg_dist) {
+                out[2 * (nseg - 1) + 1] = end;
+            } else if (nseg < cap) {
+                out[2 * nseg] = start;
+                out[2 * nseg + 1] = end;
+                nseg++;
+            }
+            start = 0;
+            end = 0;
+            begin = false;
+        }
+    }
+    return nseg;
+}
+
+// Error-tolerant in-range run detector. Exact port of ops/jnn.py
+// jnn_core (jnn.c:191-279, SquiggleKit-derived).
+int64_t sf_jnn_core(const double* sig, int64_t n, double top, double bot,
+                    int64_t corrector, int64_t seg_dist, int64_t window,
+                    double stall_len, int64_t error,
+                    int64_t* out, int64_t cap) {
+    bool prev = false;
+    int64_t err = 0, prev_err = 0, c = 0;
+    int64_t w = corrector;
+    int64_t start = 0;
+    int64_t nseg = 0;
+    for (int64_t i = 0; i < n; i++) {
+        bool in_range = sig[i] < top && sig[i] > bot;
+        if (in_range) {
+            if (!prev) {
+                start = i;
+                prev = true;
+            }
+            c += 1;
+            w += 1;
+            if (prev_err) prev_err = 0;
+            if (c >= window && c >= w && (c % w) == 0) err -= 1;
+        } else {
+            if (prev && err < error) {
+                c += 1;
+                err += 1;
+                prev_err += 1;
+                if (c >= window && c >= w && (c % w) == 0) err -= 1;
+            } else if (prev && (c >= window ||
+                                (nseg == 0 &&
+                                 (double)c >= (double)window * stall_len))) {
+                int64_t end = i - prev_err;
+                prev = false;
+                if (nseg > 0 && start - out[2 * (nseg - 1) + 1] < seg_dist) {
+                    out[2 * (nseg - 1) + 1] = end;
+                } else if (nseg < cap) {
+                    out[2 * nseg] = start;
+                    out[2 * nseg + 1] = end;
+                    nseg++;
+                }
+                c = 0;
+                err = 0;
+                prev_err = 0;
+            } else if (prev) {
+                prev = false;
+                c = 0;
+                err = 0;
+                prev_err = 0;
+            }
+        }
+    }
+    return nseg;
+}
+
 }  // extern "C"

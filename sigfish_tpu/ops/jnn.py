@@ -87,25 +87,31 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
     std = float(np.std(t))
     bot = mn - std * param.std_scale
 
-    below = t < bot
-    segs: list[list[int]] = []
-    begin = False
-    start = 0
-    end = 0
-    for j in range(t.size):
-        if below[j] and not begin:
-            start = j
-            begin = True
-        elif below[j]:
-            end = j
-        elif begin:
-            if segs and start - segs[-1][1] < param.seg_dist:
-                segs[-1][1] = end
-            else:
-                segs.append([start, end])
-            start = 0
-            end = 0
-            begin = False
+    from .. import native
+
+    nat_segs = native.jnn_segments(t, bot, param.seg_dist)
+    if nat_segs is not None:
+        segs = [[int(a), int(b)] for a, b in nat_segs]
+    else:
+        below = t < bot
+        segs = []
+        begin = False
+        start = 0
+        end = 0
+        for j in range(t.size):
+            if below[j] and not begin:
+                start = j
+                begin = True
+            elif below[j]:
+                end = j
+            elif begin:
+                if segs and start - segs[-1][1] < param.seg_dist:
+                    segs[-1][1] = end
+                else:
+                    segs.append([start, end])
+                start = 0
+                end = 0
+                begin = False
 
     for a, b in segs:
         if b - a > param.hi_thresh or b - a < param.lo_thresh:
@@ -124,6 +130,15 @@ def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
     else:
         top = param.top
         bot = param.bot
+
+    from .. import native
+
+    nat_segs = native.jnn_core_segments(
+        sig, top, bot, param.corrector, param.seg_dist, param.window,
+        param.stall_len, param.error,
+    )
+    if nat_segs is not None:
+        return [(int(a), int(b)) for a, b in nat_segs]
 
     prev = False
     err = 0

@@ -57,3 +57,26 @@ def test_events_bit_exact_both_chemistries():
             np.testing.assert_array_equal(mn, et.mean)
             np.testing.assert_array_equal(sd, et.stdv)
         sf.close()
+
+
+def test_jnn_native_matches_python():
+    from sigfish_tpu.io.blow5 import Slow5File
+    from sigfish_tpu.ops import jnn as J
+    from sigfish_tpu.ops.jnn import JnnParam, JNNV1_R9_POLYA
+
+    rng = np.random.default_rng(3)
+    sig = np.clip(rng.normal(90, 15, 30000), 0, 1200)
+    sig[5000:9000] = rng.normal(60, 3, 4000)  # a low run
+    p = JnnParam(std_scale=-1, corrector=50, seg_dist=200, window=250,
+                 stall_len=1.0, error=30, top=70.0, bot=50.0)
+    segs_nat = nat.jnn_core_segments(sig, p.top, p.bot, p.corrector,
+                                     p.seg_dist, p.window, p.stall_len, p.error)
+    # python fallback path
+    orig = nat._lib
+    try:
+        nat._lib = None
+        nat._build = lambda: False
+        segs_py = J.jnn_core(sig, p)
+    finally:
+        nat._lib = orig
+    assert [(int(a), int(b)) for a, b in segs_nat] == segs_py
