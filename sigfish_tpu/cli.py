@@ -68,6 +68,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("-a", "--sam", action="store_true", help="output in SAM format")
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default=None, help="pore chemistry [auto]")
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
+    p.add_argument("--mesh", default=None, metavar="DPxTP", help="device mesh, e.g. 4x2 = 4-way read-batch x 2-way track sharding [1 device]")
     return p
 
 
@@ -122,6 +123,7 @@ def dtw_main(argv: list[str]) -> int:
         profile=args.profile_cpu,
         ckpt=args.ckpt,
         use_pallas=args.accel,
+        mesh=args.mesh,
     )
 
     out_fp = sys.stdout if args.output in (None, "-") else open(args.output, "w")

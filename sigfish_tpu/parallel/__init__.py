@@ -1,6 +1,7 @@
 from .shard import (  # noqa: F401
     make_mesh,
     shard_tracks,
+    sharded_engine,
     sharded_sdtw,
     sharded_sdtw_step,
 )

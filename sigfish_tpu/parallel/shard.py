@@ -48,26 +48,44 @@ def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
 
 
 def shard_tracks(
-    tracks: list[np.ndarray], n_tp: int, ckpt: int = 512
+    tracks: list[np.ndarray], n_tp: int, ckpt: int = 512, align: int = 1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[list[int]]]:
     """Partition whole tracks across n_tp shards, balanced by length
     (greedy LPT), each shard padded to the common per-shard width.
+
+    With align > 1 every track segment inside a shard starts at an align
+    multiple and the per-shard width Rs is an align multiple too, so the
+    gathered (n_tp*Rs) concatenation keeps every track W-aligned -- the
+    on-device candidate window reshape (ops/candidates_dev.py) then works
+    unchanged on the gathered score matrix.
 
     Returns (ref (n_tp, Rs) f32, reset (n_tp, Rs) bool,
     offsets (n_tp, T_max+1) i64 local track offsets per shard,
     assignment: per-shard list of global track indices).
     """
-    order = np.argsort([-t.size for t in tracks])
-    loads = [0] * n_tp
+    def seg(sz: int) -> int:
+        return ((sz + align - 1) // align) * align if align > 1 else sz
+
+    # contiguous balanced partition (NOT bin-packing): the gathered
+    # column order must equal the original track order, because candidate
+    # ties resolve by insertion order (update_aln sigfish.c:577-583)
+    sizes = [seg(t.size) for t in tracks]
+    total = max(sum(sizes), 1)
     assign: list[list[int]] = [[] for _ in range(n_tp)]
-    for gi in order:
-        s = int(np.argmin(loads))
-        assign[s].append(int(gi))
-        loads[s] += tracks[gi].size
-    for a in assign:
-        a.sort()  # keep global candidate order reconstructible
+    loads = [0] * n_tp
+    cum = 0
+    for gi, sz in enumerate(sizes):
+        s = min(n_tp - 1, n_tp * (2 * cum + sz) // (2 * total))
+        assign[s].append(gi)
+        loads[s] += sz
+        cum += sz
     width = max(loads) if max(loads) else ckpt
-    Rs = ((width + ckpt - 1) // ckpt) * ckpt
+    # Rs must be a multiple of both ckpt (scan chunking) and align
+    # (window alignment across gathered shard boundaries)
+    import math
+
+    unit = ckpt * align // math.gcd(ckpt, align) if align > 1 else ckpt
+    Rs = ((width + unit - 1) // unit) * unit
     ref = np.full((n_tp, Rs), 1.0e18, dtype=np.float32)
     reset = np.zeros((n_tp, Rs), dtype=bool)
     tmax = max(len(a) for a in assign)
@@ -79,7 +97,9 @@ def shard_tracks(
             ref[s, pos : pos + t.size] = t
             if t.size:
                 reset[s, pos] = True
-            pos += t.size
+            if t.size < seg(t.size):
+                reset[s, pos + t.size] = True  # intra-shard pad gap
+            pos += seg(t.size)
             offsets[s, li + 1] = pos
         offsets[s, len(a) + 1 :] = pos
         if pos < Rs:
@@ -114,6 +134,50 @@ def sharded_sdtw(
         out_specs=P("dp", None),
         check_vma=False,
     )(queries, row_onehot, ref, reset)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs")
+)
+def sharded_engine(
+    queries: jnp.ndarray,   # (B, Q) f32, B divisible by dp
+    row_onehot: jnp.ndarray,  # (B, Q)
+    qlens: jnp.ndarray,     # (B,) i32
+    ref: jnp.ndarray,       # (n_tp, Rs) from shard_tracks
+    reset: jnp.ndarray,     # (n_tp, Rs)
+    ypad: jnp.ndarray,      # (n_tp, D) wavefront inputs per shard
+    rspad: jnp.ndarray,     # (n_tp, D)
+    mesh: Mesh,
+    Rs: int,
+    ckpt: int = 512,
+    td: int = 512,
+    use_pallas: bool = False,
+):
+    """Production multi-chip engine: per-shard sDTW (Pallas wavefront on
+    TPU shards, lax.scan otherwise) + all_gather of the column-indexed
+    last rows over 'tp'. Returns (B, n_tp*Rs) sharded over 'dp'."""
+    from ..ops.sdtw_pallas import sdtw_wavefront
+
+    def local(q, oh, ql, r, rs, yp, rp):
+        if use_pallas:
+            ds = sdtw_wavefront(q, oh, yp, rp, td=td)
+            j = jnp.arange(Rs, dtype=jnp.int32)
+            idx = j[None, :] + (ql[:, None] - 1)
+            lr = jnp.take_along_axis(ds, idx, axis=1)
+        else:
+            lr = sdtw_scan(q, oh, r[0], rs[0], ckpt=ckpt)
+        return jax.lax.all_gather(lr, "tp", axis=1, tiled=True)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P("dp", None), P("dp"),
+            P("tp", None), P("tp", None), P("tp", None), P("tp", None),
+        ),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )(queries, row_onehot, qlens, ref, reset, ypad, rspad)
 
 
 def sharded_sdtw_step(

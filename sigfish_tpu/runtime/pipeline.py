@@ -93,6 +93,7 @@ class Options:
     profile: bool = False
     ckpt: int = 512
     use_pallas: bool | None = None  # None = auto (TPU yes, CPU no)
+    mesh: str | None = None  # "DPxTP" device mesh, e.g. "4x2"; None = 1 device
 
 
 @dataclass
@@ -179,19 +180,6 @@ class Core:
             if self.ref.reverse is not None:
                 tracks.append(self.ref.reverse[j])
                 self.track_meta.append((j, "-"))
-        # align every track segment to the query size so the device-side
-        # candidate windows are a static reshape (ops/candidates_dev.py)
-        ref_cat, reset, offsets = pad_tracks(
-            tracks, ckpt=opt.ckpt, align=max(opt.query_size, 1)
-        )
-        self.tracks = tracks
-        self.ref_cat = ref_cat
-        self.reset = reset
-        self.track_offsets = offsets
-        self.track_sizes = [t.size for t in tracks]
-        self.ref_cat_dev = jnp.asarray(ref_cat)
-        self.reset_dev = jnp.asarray(reset)
-
         # engine selection: Pallas wavefront kernel on TPU, lax.scan
         # elsewhere (and for --dtw-std, which is tiny-track RNA-only)
         import jax
@@ -202,6 +190,65 @@ class Core:
             self.use_pallas = opt.use_pallas
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
         self._wf_cache: dict[int, tuple] = {}
+
+        self.tracks = tracks
+        self.track_sizes = [t.size for t in tracks]
+        W = max(opt.query_size, 1)
+
+        self.mesh = None
+        if opt.mesh:
+            dp_s, tp_s = opt.mesh.lower().split("x")
+            n_dp, n_tp = int(dp_s), int(tp_s)
+            if n_dp * n_tp > 1:
+                from ..parallel import make_mesh, shard_tracks
+                from ..ops.sdtw_pallas import prepare_wavefront_inputs as _pwf
+
+                self.mesh = make_mesh(n_dp, n_tp)
+                sref, sreset, soffs, assign = shard_tracks(
+                    tracks, n_tp, ckpt=opt.ckpt, align=W
+                )
+                Rs = sref.shape[1]
+                self.shard_Rs = Rs
+                # gathered layout (shard-major = original track order,
+                # because the partition is contiguous)
+                ref_cat = sref.reshape(-1)
+                reset = sreset.reshape(-1)
+                g_starts = np.zeros(len(tracks), dtype=np.int64)
+                for s, a in enumerate(assign):
+                    for li, gi in enumerate(a):
+                        g_starts[gi] = s * Rs + soffs[s, li]
+                offsets = np.concatenate([g_starts, [n_tp * Rs]])
+                # per-shard wavefront inputs at the fixed padded Q
+                yps, rps = [], []
+                D = 0
+                for s in range(n_tp):
+                    yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=512)
+                    yps.append(yp[0])
+                    rps.append(rp[0])
+                    D = max(D, d)
+                ypad = np.full((n_tp, D), 1.0e18, dtype=np.float32)
+                rspad = np.zeros((n_tp, D), dtype=np.float32)
+                for s in range(n_tp):
+                    ypad[s, : yps[s].size] = yps[s]
+                    rspad[s, : rps[s].size] = rps[s]
+                    if rps[s].size < D:
+                        rspad[s, rps[s].size] = 1.0
+                self.shard_ref_dev = jnp.asarray(sref)
+                self.shard_reset_dev = jnp.asarray(sreset)
+                self.shard_ypad_dev = jnp.asarray(ypad)
+                self.shard_rspad_dev = jnp.asarray(rspad)
+
+        if self.mesh is None:
+            # align every track segment to the query size so the device-
+            # side candidate windows are a static reshape
+            # (ops/candidates_dev.py)
+            ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt, align=W)
+
+        self.ref_cat = ref_cat
+        self.reset = reset
+        self.track_offsets = offsets
+        self.ref_cat_dev = jnp.asarray(ref_cat)
+        self.reset_dev = jnp.asarray(reset)
 
         # static column maps for on-device candidate extraction
         u_map, valid_map = build_column_maps(
@@ -273,6 +320,39 @@ class Core:
         R = self.ref_cat.shape[0]
         W = self.opt.query_size
         qlens_dev = jnp.asarray(qlens.astype(np.int32))
+        if self.mesh is not None:
+            from ..parallel import sharded_engine
+
+            n_dp = self.mesh.shape["dp"]
+            B = qb.shape[0]
+            padb = (-B) % n_dp
+            if padb:
+                qb = np.pad(qb, ((0, padb), (0, 0)))
+                onehot = np.pad(onehot, ((0, padb), (0, 0)))
+                qlens_pad = np.pad(qlens.astype(np.int32), (0, padb),
+                                   constant_values=max(W, 1))
+            else:
+                qlens_pad = qlens.astype(np.int32)
+            lr = sharded_engine(
+                jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(qlens_pad),
+                self.shard_ref_dev, self.shard_reset_dev,
+                self.shard_ypad_dev, self.shard_rspad_dev,
+                self.mesh, Rs=self.shard_Rs, ckpt=self.opt.ckpt, td=512,
+                use_pallas=self.use_pallas,
+            )
+            top_s, top_p = device_window_top5(
+                lr, jnp.asarray(qlens_pad), self.valid_dev, R, W=W, k=5,
+                reindex=False,
+            )
+            top_s = np.asarray(top_s)[:B]
+            top_p = np.asarray(top_p)[:B]
+            odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
+            for b in odd:
+                lr_row = np.asarray(lr[b, :R])
+                s5, p5 = self._host_top5(lr_row, int(qlens[b]))
+                top_s[b] = s5
+                top_p[b] = p5
+            return top_s, top_p
         if self.use_pallas:
             Q = qb.shape[1]
             td = 512

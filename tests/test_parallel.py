@@ -56,3 +56,22 @@ def test_shard_tracks_balanced():
     assert abs(loads[0] - loads[1]) <= 900
     assert ref.shape[0] == 2
     assert set(sum(assign, [])) == set(range(6))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_pipeline_matches_single_device(tmp_path):
+    """Full pipeline over a 4x2 mesh == single-device output, byte for byte."""
+    import io
+    from sigfish_tpu.runtime.pipeline import Core, Options, run_dtw
+
+    REF = "/root/reference/test"
+
+    def run(mesh):
+        opt = Options(query_size=64, mesh=mesh, use_pallas=False)
+        core = Core(f"{REF}/nCoV-2019.reference.fasta", f"{REF}/sp1_dna.blow5", opt)
+        out = io.StringIO()
+        run_dtw(core, out)
+        core.close()
+        return out.getvalue()
+
+    assert run("4x2") == run(None)
