@@ -317,6 +317,39 @@ class Core:
         the host link for full-length reads; clipped reads (qlen != W) get
         a per-read host window scan on their extracted last row.
         Returns (top_scores, top_pos_global), both (B, 5)."""
+        return self.sdtw_candidates_collect(
+            self.sdtw_candidates_submit(qb, qlens, onehot)
+        )
+
+    def sdtw_candidates_collect(self, handle) -> tuple[np.ndarray, np.ndarray]:
+        """Block on a submitted device computation; run host fallbacks."""
+        qlens = handle["qlens"]
+        B = handle["B"]
+        W = self.opt.query_size
+        R = self.ref_cat.shape[0]
+        top_s = np.asarray(handle["top_s"])[:B]
+        top_p = np.asarray(handle["top_p"])[:B]
+        odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
+        for b in odd:
+            if handle["reindex"]:
+                lr_row = np.asarray(
+                    device_extract_last_row(
+                        handle["scores"], handle["qlens_dev"], b, R
+                    )
+                )
+            else:
+                lr_row = np.asarray(handle["scores"][b, :R])
+            s5, p5 = self._host_top5(lr_row, int(qlens[b]))
+            top_s[b] = s5
+            top_p[b] = p5
+        return top_s, top_p
+
+    def sdtw_candidates_submit(
+        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
+    ) -> dict:
+        """Dispatch the device computation asynchronously; returns a
+        handle for sdtw_candidates_collect. Lets the caller overlap the
+        next batch's host stages with this batch's device time."""
         R = self.ref_cat.shape[0]
         W = self.opt.query_size
         qlens_dev = jnp.asarray(qlens.astype(np.int32))
@@ -340,19 +373,14 @@ class Core:
                 self.mesh, Rs=self.shard_Rs, ckpt=self.opt.ckpt, td=512,
                 use_pallas=self.use_pallas,
             )
+            qlp_dev = jnp.asarray(qlens_pad)
             top_s, top_p = device_window_top5(
-                lr, jnp.asarray(qlens_pad), self.valid_dev, R, W=W, k=5,
-                reindex=False,
+                lr, qlp_dev, self.valid_dev, R, W=W, k=5, reindex=False,
             )
-            top_s = np.asarray(top_s)[:B]
-            top_p = np.asarray(top_p)[:B]
-            odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
-            for b in odd:
-                lr_row = np.asarray(lr[b, :R])
-                s5, p5 = self._host_top5(lr_row, int(qlens[b]))
-                top_s[b] = s5
-                top_p[b] = p5
-            return top_s, top_p
+            return dict(
+                top_s=top_s, top_p=top_p, scores=lr, reindex=False,
+                qlens=qlens, qlens_dev=qlp_dev, B=B,
+            )
         if self.use_pallas:
             Q = qb.shape[1]
             td = 512
@@ -382,22 +410,10 @@ class Core:
         top_s, top_p = device_window_top5(
             scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex
         )
-        top_s = np.asarray(top_s)
-        top_p = np.asarray(top_p)
-
-        # host fallback for clipped reads whose window width != W
-        odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
-        for b in odd:
-            if reindex:
-                lr_row = np.asarray(
-                    device_extract_last_row(scores, qlens_dev, b, R)
-                )
-            else:
-                lr_row = np.asarray(scores[b, :R])
-            s5, p5 = self._host_top5(lr_row, int(qlens[b]))
-            top_s[b] = s5
-            top_p[b] = p5
-        return top_s, top_p
+        return dict(
+            top_s=top_s, top_p=top_p, scores=scores, reindex=reindex,
+            qlens=qlens, qlens_dev=qlens_dev, B=qb.shape[0],
+        )
 
     def _host_top5(self, lr_row: np.ndarray, qlen: int):
         """Window scan + update_aln top-5 for one read (exact reference
@@ -598,8 +614,21 @@ def _backtrack_best(
     return pos_st_local, r2q
 
 
-def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], BatchStats]:
-    """Map one batch of raw records; returns per-read output lines."""
+@dataclass
+class PendingBatch:
+    """A batch whose device work has been dispatched but not collected."""
+
+    works: list
+    stats: BatchStats
+    live: list
+    qlens: np.ndarray | None = None
+    handle: dict | None = None
+    last_row: np.ndarray | None = None  # --dtw-std path (host)
+    dtw_t0: float = 0.0
+
+
+def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
+    """Host stages + async device dispatch for one batch of raw records."""
     opt = core.opt
     stats = BatchStats(n_rec=len(blobs), sum_bytes=sum(len(b) for b in blobs))
 
@@ -634,8 +663,9 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
         stats.too_short += w.flag_too_short
 
     live = [i for i, w in enumerate(works) if not w.skip]
+    pending = PendingBatch(works=works, stats=stats, live=live, dtw_t0=dtw_t0)
     if not live:
-        return [None] * len(works), stats
+        return pending
 
     # ---- device stage: pad the batch to a bucket size so engines compile
     # once per (B, Q) shape
@@ -650,16 +680,36 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
         # uniform device candidate path (their results are never read)
         queries.append(np.zeros(max(opt.query_size, 1), dtype=np.float32))
     qb, qlens, onehot = make_query_batch(queries, pad_q=core.pad_q)
+    pending.qlens = qlens
 
-    # ---- candidate extraction
+    if not opt.dtw_std:
+        # fused device path: only (B, 5) candidates cross the host link
+        pending.handle = core.sdtw_candidates_submit(qb, qlens, onehot)
+    else:
+        pending.last_row = core.sdtw_run(qb, qlens, onehot, True)
+    return pending
+
+
+def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], BatchStats]:
+    """Collect device results, backtrack winners, format output lines."""
+    import time as _time
+
+    opt = core.opt
+    works = pending.works
+    stats = pending.stats
+    live = pending.live
+    if not live:
+        if opt.profile:
+            core.dtw_time += _time.time() - pending.dtw_t0
+        return [None] * len(works), stats
+    qlens = pending.qlens
     offs = core.track_offsets
     ntracks = len(core.tracks)
 
     if not opt.dtw_std:
-        # fused device path: only (B, 5) candidates cross the host link
-        top_s, top_p = core.sdtw_candidates(qb, qlens, onehot)
+        top_s, top_p = core.sdtw_candidates_collect(pending.handle)
     else:
-        last_row = core.sdtw_run(qb, qlens, onehot, True)
+        last_row = pending.last_row
 
     for slot, i in enumerate(live):
         w = works[i]
@@ -755,33 +805,38 @@ def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], Bat
             )
 
     if opt.profile:
-        core.dtw_time += _time.time() - dtw_t0
+        core.dtw_time += _time.time() - pending.dtw_t0
     return [w.out for w in works], stats
 
 
+def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], BatchStats]:
+    """Map one batch of raw records; returns per-read output lines."""
+    return finish_batch(core, submit_batch(core, blobs))
+
+
 def run_dtw(core: Core, out_fp) -> None:
-    """The batch loop. ref: dtw_main.c:299-326."""
+    """The batch loop, double-buffered: batch N+1's host stages (decode,
+    eventization, normalisation) run while batch N's sDTW executes on the
+    device -- JAX dispatch is asynchronous, so submit_batch returns before
+    the device finishes and finish_batch is the sync point. --profile-cpu
+    drains each batch before submitting the next so the per-stage timers
+    are unoverlapped.
+
+    ref: dtw_main.c:299-326 (sequential load->process->output loop).
+    """
     import sys
     import time
 
     opt = core.opt
     realtime0 = time.time()
-    counter = 0
-    while True:
+    state = {"counter": 0}
+
+    def drain(pending: PendingBatch) -> None:
         t0 = time.time()
-        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
-        core.load_db_time += time.time() - t0
-        if not blobs:
-            break
-        sys.stderr.write(
-            f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
-            f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
-        )
-        t0 = time.time()
-        lines, stats = process_batch(core, blobs)
+        lines, stats = finish_batch(core, pending)
         core.process_db_time += time.time() - t0
         sys.stderr.write(
-            f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
+            f"[run_dtw::{time.time()-realtime0:.3f}] {stats.n_rec} Entries "
             f"({stats.sum_bytes/1e6:.1f}M bytes) processed\n"
         )
         t0 = time.time()
@@ -795,8 +850,41 @@ def run_dtw(core: Core, out_fp) -> None:
         core.prefix_fail += stats.prefix_fail
         core.ignored += stats.ignored
         core.too_short += stats.too_short
-        if opt.debug_break == counter:
-            break
-        counter += 1
-        if len(blobs) < opt.batch_size and stats.sum_bytes < opt.batch_size_bytes:
-            break
+        state["counter"] += 1
+
+    pending: PendingBatch | None = None
+    done = False
+    while not done:
+        t0 = time.time()
+        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+        core.load_db_time += time.time() - t0
+        new_pending = None
+        if blobs:
+            sys.stderr.write(
+                f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
+                f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
+            )
+            if opt.profile and pending is not None:
+                drain(pending)
+                pending = None
+            t0 = time.time()
+            new_pending = submit_batch(core, blobs)
+            core.process_db_time += time.time() - t0
+            if (
+                len(blobs) < opt.batch_size
+                and new_pending.stats.sum_bytes < opt.batch_size_bytes
+            ):
+                done = True
+        else:
+            done = True
+
+        if pending is not None:
+            drain(pending)
+            if opt.debug_break >= 0 and state["counter"] > opt.debug_break:
+                new_pending = None
+                done = True
+        pending = new_pending
+
+    if pending is not None:
+        if opt.debug_break < 0 or state["counter"] <= opt.debug_break:
+            drain(pending)
