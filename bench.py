@@ -54,7 +54,7 @@ def build_workload(path: str) -> int:
 
 
 def main() -> None:
-    from sigfish_tpu.runtime.pipeline import Core, Options, process_batch
+    from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
     tmp = tempfile.mktemp(suffix=".blow5")
     try:
@@ -67,21 +67,13 @@ def main() -> None:
         process_batch(core, blobs)
         warm_reads = len(blobs)
 
+        # steady state through the production double-buffered loop
         t0 = time.time()
-        done = warm_reads
         sink = io.StringIO()
-        while True:
-            blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
-            if not blobs:
-                break
-            lines, stats = process_batch(core, blobs)
-            for ln in lines:
-                if ln is not None:
-                    sink.write(ln)
-            done += stats.n_rec
+        run_dtw(core, sink)
         dt = time.time() - t0
+        measured = core.total_reads
         core.close()
-        measured = done - warm_reads
         rps = measured / dt
         print(
             json.dumps(
