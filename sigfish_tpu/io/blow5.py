@@ -353,9 +353,26 @@ class Slow5File:
         return out
 
     def decode_record(self, blob: bytes) -> Slow5Record:
-        """ref: slow5_rec_depress_parse + binary/ascii column parse."""
+        """ref: slow5_rec_depress_parse + binary/ascii column parse.
+
+        Uses the native (C++) decoder for the common zlib/svb-zd
+        combinations; falls back to the Python path for zstd/ascii."""
         if self.format == "ascii":
             return self._decode_ascii(blob)
+        from .. import native
+
+        res = native.blow5_decode(blob, self.rec_press, self.sig_press)
+        if res is not None:
+            rid, rg, digi, off_, rng, rate, sig = res
+            return Slow5Record(
+                read_id=rid,
+                read_group=rg,
+                digitisation=digi,
+                offset=off_,
+                range=rng,
+                sampling_rate=rate,
+                raw_signal=sig,
+            )
         mem = _decompress_record(blob, self.rec_press)
         (rid_len,) = struct.unpack_from("<H", mem, 0)
         off = 2

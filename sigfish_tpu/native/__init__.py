@@ -25,7 +25,7 @@ def _build() -> bool:
     try:
         cmd = [
             "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
-            "-o", _SO, _SRC,
+            "-o", _SO, _SRC, "-lz",
         ]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
         if r.returncode != 0:
@@ -87,6 +87,14 @@ def _load():
         ctypes.c_int64, i64p, ctypes.c_int64,
     ]
     lib.sf_jnn_core.restype = ctypes.c_int64
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.sf_blow5_decode.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), f64p, i16p, ctypes.c_int64,
+    ]
+    lib.sf_blow5_decode.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -151,6 +159,40 @@ def zscore_inplace(x: np.ndarray) -> bool:
     assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
     lib.sf_zscore(x, x.size)
     return True
+
+
+def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
+    """Decode one BLOW5 record blob. Returns (read_id, read_group,
+    digitisation, offset, range, sampling_rate, signal i16) or None when
+    the native path can't handle the compression combination."""
+    lib = _load()
+    if lib is None:
+        return None
+    rp = {"none": 0, "zlib": 1}.get(rec_press)
+    sp = {"none": 0, "svb-zd": 1}.get(sig_press)
+    if rp is None or sp is None:
+        return None
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    cap = max(len(blob) * 16, 4096)
+    while True:
+        sig = np.empty(cap, np.int16)
+        rid = ctypes.create_string_buffer(1024)
+        rg = ctypes.c_uint32(0)
+        meta = np.empty(4, np.float64)
+        n = lib.sf_blow5_decode(
+            buf, buf.size, rp, sp, rid, 1024,
+            ctypes.byref(rg), meta, sig, cap,
+        )
+        if n >= 0:
+            return (
+                rid.value.decode("ascii"), int(rg.value),
+                float(meta[0]), float(meta[1]), float(meta[2]), float(meta[3]),
+                sig[:n].copy(),
+            )
+        if cap < (1 << 26):  # retry with a larger signal buffer
+            cap *= 4
+            continue
+        return None
 
 
 def jnn_segments(t: np.ndarray, bot: float, seg_dist: int):

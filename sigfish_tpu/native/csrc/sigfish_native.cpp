@@ -23,6 +23,8 @@
 #include <cfloat>
 #include <cstdlib>
 
+#include <zlib.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------- DTW
@@ -291,6 +293,102 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
     }
     free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]); free(peaks);
     return nev;
+}
+
+// -------------------------------------------------------------- blow5
+
+// One BLOW5 record: optional zlib record decompression, fixed-column
+// parse (slow5_defs.h:84-94 layout), optional svb-zd signal decode
+// (zigzag + delta + streamvbyte, slow5_press.c:1054-1140).
+// rec_press: 0 none, 1 zlib. sig_press: 0 none, 1 svb-zd.
+// Returns the signal length in samples, or -1 on error.
+int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
+                        int32_t rec_press, int32_t sig_press,
+                        char* read_id, int64_t read_id_cap,
+                        uint32_t* read_group, double* meta4,
+                        int16_t* signal_out, int64_t signal_cap) {
+    const uint8_t* mem = blob;
+    int64_t mem_len = blob_len;
+    uint8_t* heap = nullptr;
+    if (rec_press == 1) {
+        size_t cap = (size_t)blob_len * 4 + 4096;
+        heap = (uint8_t*)malloc(cap);
+        if (!heap) return -1;
+        while (true) {
+            uLongf dlen = cap;
+            int rc = uncompress(heap, &dlen, blob, (uLong)blob_len);
+            if (rc == Z_OK) {
+                mem = heap;
+                mem_len = (int64_t)dlen;
+                break;
+            }
+            if (rc == Z_BUF_ERROR) {
+                cap *= 2;
+                uint8_t* bigger = (uint8_t*)realloc(heap, cap);
+                if (!bigger) { free(heap); return -1; }
+                heap = bigger;
+                continue;
+            }
+            free(heap);
+            return -1;
+        }
+    } else if (rec_press != 0) {
+        return -1;  // zstd handled by the Python fallback
+    }
+
+    int64_t off = 0;
+    if (mem_len < 2) { free(heap); return -1; }
+    uint16_t rid_len;
+    memcpy(&rid_len, mem + off, 2); off += 2;
+    if (rid_len + 1 > read_id_cap || off + rid_len > mem_len) {
+        free(heap); return -1;
+    }
+    memcpy(read_id, mem + off, rid_len);
+    read_id[rid_len] = '\0';
+    off += rid_len;
+    if (off + 4 + 32 + 8 > mem_len) { free(heap); return -1; }
+    memcpy(read_group, mem + off, 4); off += 4;
+    memcpy(meta4, mem + off, 32); off += 32;  // digitisation,offset,range,rate
+    uint64_t len_raw;
+    memcpy(&len_raw, mem + off, 8); off += 8;
+
+    int64_t n = -1;
+    if (sig_press == 0) {
+        n = (int64_t)len_raw;
+        if (n > signal_cap || off + n * 2 > mem_len) { free(heap); return -1; }
+        memcpy(signal_out, mem + off, (size_t)n * 2);
+    } else if (sig_press == 1) {
+        // len_raw is the BYTE count of the compressed blob (slow5.c:2880)
+        if (off + (int64_t)len_raw > mem_len || len_raw < 4) {
+            free(heap); return -1;
+        }
+        const uint8_t* sv = mem + off;
+        uint32_t count;
+        memcpy(&count, sv, 4);
+        if ((int64_t)count > signal_cap) { free(heap); return -1; }
+        int64_t nctrl = ((int64_t)count + 3) / 4;
+        const uint8_t* ctrl = sv + 4;
+        const uint8_t* data = sv + 4 + nctrl;
+        const uint8_t* dend = sv + len_raw;
+        int32_t prev = 0;
+        for (int64_t i = 0; i < (int64_t)count; i++) {
+            uint32_t code = (ctrl[i >> 2] >> ((i & 3) * 2)) & 0x3;
+            uint32_t nb = code + 1;
+            if (data + nb > dend) { free(heap); return -1; }
+            uint32_t zz = 0;
+            memcpy(&zz, data, nb);  // little-endian partial load
+            data += nb;
+            int32_t d = (int32_t)(zz >> 1) ^ -(int32_t)(zz & 1);
+            prev += d;
+            signal_out[i] = (int16_t)prev;
+        }
+        n = (int64_t)count;
+    } else {
+        free(heap);
+        return -1;
+    }
+    free(heap);
+    return n;
 }
 
 // ---------------------------------------------------------------- jnn
