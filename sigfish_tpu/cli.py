@@ -69,6 +69,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default=None, help="pore chemistry [auto]")
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
     p.add_argument("--mesh", default=None, metavar="DPxTP", help="device mesh, e.g. 4x2 = 4-way read-batch x 2-way track sharding [1 device]")
+    p.add_argument("--trace", default=None, metavar="DIR", help="write a JAX profiler trace (xprof) of the run to DIR")
     return p
 
 
@@ -131,7 +132,13 @@ def dtw_main(argv: list[str]) -> int:
     if core.opt.sam:
         out_fp.write(sam_header(core.ref.ref_names, core.ref.ref_lengths, __version__))
 
-    run_dtw(core, out_fp)
+    if args.trace:
+        import jax
+
+        with jax.profiler.trace(args.trace):
+            run_dtw(core, out_fp)
+    else:
+        run_dtw(core, out_fp)
 
     # final report, ref dtw_main.c:331-345 + main.c:98-99
     e = sys.stderr

@@ -438,7 +438,8 @@ class Slow5File:
 
 
 class Slow5Writer:
-    """BLOW5 binary writer (record zlib / signal svb-zd by default).
+    """S/BLOW5 writer (binary: record zlib / signal svb-zd by default;
+    ASCII .slow5 with fmt="ascii").
 
     Write-path counterpart of :class:`Slow5File`, completing the
     slow5lib API-parity surface (ref: slow5lib/src/slow5.c header write
@@ -452,13 +453,35 @@ class Slow5Writer:
         header_data: list[dict[str, str]] | None = None,
         rec_press: str = "zlib",
         sig_press: str = "svb-zd",
+        fmt: str | None = None,
     ):
         self.path = os.fspath(path)
+        if fmt is None:
+            fmt = "ascii" if self.path.endswith(".slow5") else "binary"
+        self.fmt = fmt
         self._fp: BinaryIO = open(self.path, "wb")
-        self.rec_press = rec_press
-        self.sig_press = sig_press
+        self.rec_press = rec_press if fmt == "binary" else "none"
+        self.sig_press = sig_press if fmt == "binary" else "none"
         self.header_data = header_data or [{}]
-        self._write_header()
+        if fmt == "binary":
+            self._write_header()
+        else:
+            self._write_ascii_header()
+
+    def _write_ascii_header(self) -> None:
+        w = self._fp.write
+        w(b"#slow5_version\t0.2.0\n")
+        w(f"#num_read_groups\t{len(self.header_data)}\n".encode())
+        for a in sorted({k for g in self.header_data for k in g}):
+            vals = "\t".join(g.get(a, ".") for g in self.header_data)
+            w(f"@{a}\t{vals}\n".encode())
+        w(
+            b"#char*\tuint32_t\tdouble\tdouble\tdouble\tdouble\tuint64_t\tint16_t*\n"
+        )
+        w(
+            b"#read_id\tread_group\tdigitisation\toffset\trange\t"
+            b"sampling_rate\tlen_raw_signal\traw_signal\n"
+        )
 
     def _write_header(self) -> None:
         fp = self._fp
@@ -487,6 +510,16 @@ class Slow5Writer:
         fp.write(text)
 
     def write_record(self, rec: Slow5Record) -> None:
+        if self.fmt == "ascii":
+            sig = ",".join(str(int(v)) for v in rec.raw_signal)
+            self._fp.write(
+                (
+                    f"{rec.read_id}\t{rec.read_group}\t{rec.digitisation:.17g}\t"
+                    f"{rec.offset:.17g}\t{rec.range:.17g}\t{rec.sampling_rate:.17g}\t"
+                    f"{rec.len_raw_signal}\t{sig}\n"
+                ).encode("ascii")
+            )
+            return
         rid = rec.read_id.encode("ascii")
         body = bytearray()
         body += struct.pack("<H", len(rid))
@@ -509,7 +542,8 @@ class Slow5Writer:
         self._fp.write(blob)
 
     def close(self) -> None:
-        self._fp.write(EOF_MARKER)
+        if self.fmt == "binary":
+            self._fp.write(EOF_MARKER)
         self._fp.close()
 
     def __enter__(self) -> "Slow5Writer":

@@ -59,3 +59,47 @@ def test_read_batch_bounds():
     blobs2 = sf.read_batch(512, 10**9)
     assert len(blobs2) == 2  # remaining
     sf.close()
+
+
+def test_ascii_slow5_roundtrip(tmp_path):
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    src = Slow5File(DNA)
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = tmp_path / "t.slow5"
+    with Slow5Writer(str(p), header_data=hdr) as w:
+        for r in recs:
+            w.write_record(r)
+    rb = Slow5File(str(p))
+    assert rb.format == "ascii"
+    recs2 = list(rb)
+    assert rb.header_get("sequencing_kit", 0) == "sqk-lsk109"
+    rb.close()
+    assert len(recs2) == len(recs)
+    for a, b in zip(recs, recs2):
+        assert a.read_id == b.read_id
+        assert a.digitisation == b.digitisation
+        assert a.sampling_rate == b.sampling_rate
+        np.testing.assert_array_equal(a.raw_signal, b.raw_signal)
+
+
+def test_binary_blow5_roundtrip(tmp_path):
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    src = Slow5File(RNA)
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = tmp_path / "t.blow5"
+    with Slow5Writer(str(p), header_data=hdr) as w:
+        for r in recs:
+            w.write_record(r)
+    rb = Slow5File(str(p))
+    recs2 = list(rb)
+    rb.close()
+    assert len(recs2) == len(recs)
+    for a, b in zip(recs, recs2):
+        assert a.read_id == b.read_id
+        np.testing.assert_array_equal(a.raw_signal, b.raw_signal)
