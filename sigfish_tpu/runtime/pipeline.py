@@ -41,17 +41,10 @@ from ..models.pore_model import (
     read_model_tsv,
 )
 from ..ops import jnn
-from ..ops.candidates import (
-    Alignment,
-    compute_mapq,
-    rank_candidates,
-    window_argmin,
-    window_argmin_batch,
-)
+from ..ops.candidates import compute_mapq, rank_candidates, window_argmin
 from ..ops.candidates_dev import (
     build_column_maps,
     device_extract_last_row,
-    device_topk_candidates,
     device_window_top5,
 )
 from ..ops.events import get_events
