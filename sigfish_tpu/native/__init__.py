@@ -67,10 +67,10 @@ def _load():
     lib.sf_subsequence_path.argtypes = lib.sf_path.argtypes
     lib.sf_subsequence_path.restype = ctypes.c_int32
     lib.sf_detect_events.argtypes = [
-        f32p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
         ctypes.c_float,
-        i64p, f32p, f32p, f32p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.sf_detect_events.restype = ctypes.c_int32
     lib.sf_zscore.argtypes = [f32p, ctypes.c_int64]
@@ -90,9 +90,10 @@ def _load():
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.sf_blow5_decode.argtypes = [
-        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint32), f64p, i16p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
     ]
     lib.sf_blow5_decode.restype = ctypes.c_int64
     _lib = lib
@@ -180,8 +181,8 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
         rg = ctypes.c_uint32(0)
         meta = np.empty(4, np.float64)
         n = lib.sf_blow5_decode(
-            buf, buf.size, rp, sp, rid, 1024,
-            ctypes.byref(rg), meta, sig, cap,
+            buf.ctypes.data, buf.size, rp, sp, rid, 1024,
+            ctypes.byref(rg), meta.ctypes.data, sig.ctypes.data, cap,
         )
         if n >= 0:
             return (
@@ -240,10 +241,11 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False):
     ev_mean = np.empty(cap, np.float32)
     ev_stdv = np.empty(cap, np.float32)
     k = lib.sf_detect_events(
-        sig, n,
+        sig.ctypes.data, n,
         p["window_length1"], p["window_length2"],
         p["threshold1"], p["threshold2"], p["peak_height"],
-        ev_start, ev_len, ev_mean, ev_stdv,
+        ev_start.ctypes.data, ev_len.ctypes.data,
+        ev_mean.ctypes.data, ev_stdv.ctypes.data,
     )
     if k < 0:
         return None
