@@ -70,6 +70,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
     p.add_argument("--mesh", default=None, metavar="DPxTP", help="device mesh, e.g. 4x2 = 4-way read-batch x 2-way track sharding [1 device]")
     p.add_argument("--trace", default=None, metavar="DIR", help="write a JAX profiler trace (xprof) of the run to DIR")
+    p.add_argument("--shard", default=None, metavar="I/N", help="map only record stripe I of N (multi-host data parallelism; concatenate per-host outputs)")
     return p
 
 
@@ -126,6 +127,12 @@ def dtw_main(argv: list[str]) -> int:
         use_pallas=args.accel,
         mesh=args.mesh,
     )
+    if args.shard:
+        i_s, n_s = args.shard.split("/")
+        opt.shard_id, opt.n_shards = int(i_s), int(n_s)
+        if not (0 <= opt.shard_id < opt.n_shards):
+            p_err = make_dtw_parser()
+            p_err.error(f"--shard {args.shard}: need 0 <= I < N")
 
     out_fp = sys.stdout if args.output in (None, "-") else open(args.output, "w")
     core = Core(args.genome, args.reads, opt)

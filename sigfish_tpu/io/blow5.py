@@ -215,6 +215,7 @@ class Slow5File:
         elif head[:1] == b"#":
             self.format = "ascii"
 
+        self._rec_index = 0
         self.header_data: list[dict[str, str]] = []
         self.aux_types: list[str] = []
         self.aux_names: list[str] = []
@@ -340,14 +341,30 @@ class Slow5File:
     def _at_eof_after(self, size: int) -> bool:
         return False
 
-    def read_batch(self, max_records: int, max_bytes: int) -> list[bytes]:
-        """Load up to K records or B bytes. ref: load_db src/sigfish.c:274-305."""
+    def read_batch(
+        self,
+        max_records: int,
+        max_bytes: int,
+        shard_id: int = 0,
+        n_shards: int = 1,
+    ) -> list[bytes]:
+        """Load up to K records or B bytes. ref: load_db src/sigfish.c:274-305.
+
+        With n_shards > 1 only records whose global index is congruent to
+        shard_id modulo n_shards are kept -- the multi-host data-parallel
+        stripe (each host streams the same file and maps its own stripe;
+        outputs concatenate to the full mapping set).
+        """
         out: list[bytes] = []
         total = 0
         while len(out) < max_records and total < max_bytes:
             blob = self.read_next_blob()
             if blob is None:
                 break
+            idx = self._rec_index
+            self._rec_index += 1
+            if n_shards > 1 and idx % n_shards != shard_id:
+                continue
             out.append(blob)
             total += len(blob)
         return out

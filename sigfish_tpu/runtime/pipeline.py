@@ -87,6 +87,8 @@ class Options:
     ckpt: int = 512
     use_pallas: bool | None = None  # None = auto (TPU yes, CPU no)
     mesh: str | None = None  # "DPxTP" device mesh, e.g. "4x2"; None = 1 device
+    shard_id: int = 0   # multi-host record stripe I of N
+    n_shards: int = 1
 
 
 @dataclass
@@ -849,7 +851,10 @@ def run_dtw(core: Core, out_fp) -> None:
     done = False
     while not done:
         t0 = time.time()
-        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+        blobs = core.sf.read_batch(
+            opt.batch_size, opt.batch_size_bytes,
+            shard_id=opt.shard_id, n_shards=opt.n_shards,
+        )
         core.load_db_time += time.time() - t0
         new_pending = None
         if blobs:

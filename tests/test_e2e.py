@@ -65,3 +65,40 @@ def test_rna_accuracy_gate(tmp_path):
     mapped, correct = _eval(f"{REF}/sequin_rna.minimap2.paf", paf, tmp_path)
     assert mapped >= 100.0, f"RNA mapped {mapped:.2f}% < 100%"
     assert correct >= 75.0, f"RNA correct {correct:.2f}% < 75%"
+
+
+def test_r10_and_rna004_smoke(tmp_path):
+    """R10 / RNA004 chemistries end-to-end on synthesized inputs:
+    header auto-detection picks the 9-mer models and the pipeline runs.
+    (Accuracy is unvalidated for the derived 9-mer tables -- no in-repo
+    R10/RNA004 data exists; see models/derive_models.py.)"""
+    import numpy as np
+
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+
+    src = Slow5File(f"{REF}/sp1_dna.blow5")
+    recs = list(src)
+    hdr = [dict(src.header_data[0])]
+    src.close()
+    hdr[0]["sequencing_kit"] = "sqk-lsk114"  # "114" -> R10 autodetect
+    p = tmp_path / "r10.blow5"
+    with Slow5Writer(str(p), header_data=hdr) as w:
+        for r in recs[:2]:
+            w.write_record(r)
+    paf = _run(f"{REF}/nCoV-2019.reference.fasta", str(p))
+    assert len([l for l in paf.splitlines() if l]) == 2
+
+    # --pore rna004 via CLI opts (the reference rejects this flag due to
+    # a validation bug, dtw_main.c:223 -- we accept it)
+    src = Slow5File(f"{REF}/sequin_rna.blow5")
+    rrecs = list(src)
+    rhdr = [dict(src.header_data[0])]
+    src.close()
+    p2 = tmp_path / "rna004.blow5"
+    with Slow5Writer(str(p2), header_data=rhdr) as w:
+        w.write_record(rrecs[0])
+    paf = _run(
+        f"{REF}/rnasequin_sequences_2.4.fa", str(p2),
+        rna=True, query_size=200, prefix_size=50, pore="rna004",
+    )
+    assert len([l for l in paf.splitlines() if l]) == 1
