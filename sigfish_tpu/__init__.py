@@ -19,3 +19,30 @@ sigfish C sources (file:line).
 __version__ = "0.2.0"  # capability parity with sigfish 0.2.0 (SAM @PG VN)
 
 SIGFISH_TPU_VERSION = __version__
+
+
+def _enable_xla_cache() -> None:
+    """Persistent XLA compilation cache: the RNA engine shapes take
+    ~2-3 min to compile cold and milliseconds to load back (observed
+    145s -> 6.5s end-to-end on the sequin test). Opt out with
+    SIGFISH_TPU_NO_XLA_CACHE=1 or point elsewhere with
+    SIGFISH_TPU_XLA_CACHE_DIR."""
+    import os
+
+    if os.environ.get("SIGFISH_TPU_NO_XLA_CACHE"):
+        return
+    try:
+        import jax
+
+        d = os.environ.get(
+            "SIGFISH_TPU_XLA_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "sigfish_xla"),
+        )
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or read-only home: run without the cache
+
+
+_enable_xla_cache()
