@@ -13,8 +13,12 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import sys
 import time
+
+# SIGSEGV/SIGABRT backtraces (ref: sig_handler main.c:21-40)
+faulthandler.enable()
 
 from . import __version__
 from .utils import log_info, set_log_level, realtime, cputime, peakrss
