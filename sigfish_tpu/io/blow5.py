@@ -324,22 +324,20 @@ class Slow5File:
             return line.rstrip(b"\n")
         szb = self._fp.read(8)
         if len(szb) < 8:
-            if len(szb) == 5 and szb == EOF_MARKER:
-                return None
-            if len(szb) == 0:
+            # the 5-byte `5WOLB` EOF marker terminates the stream
+            # (slow5.c:3249-3260); a clean EOF with no marker is also
+            # accepted for robustness
+            if len(szb) == 0 or szb == EOF_MARKER[: len(szb)]:
                 return None
             raise IOError(f"{self.path}: malformed record size prefix")
+        if szb[:5] == EOF_MARKER:
+            # marker followed by trailing bytes: treat as end of stream
+            return None
         (size,) = struct.unpack("<Q", szb)
-        # the EOF marker is 5 bytes; a size prefix read may actually contain it
-        if szb[:5] == EOF_MARKER and size >> 40 == 0 and self._at_eof_after(size):
-            pass
         blob = self._fp.read(size)
         if len(blob) != size:
             raise IOError(f"{self.path}: truncated record")
         return blob
-
-    def _at_eof_after(self, size: int) -> bool:
-        return False
 
     def read_batch(
         self,
