@@ -94,10 +94,13 @@ def _wavefront_kernel(
 
         local = jnp.abs(q - ywin)  # (B, Q) via broadcast of (1, Q)
         rs = (rswin > 0.5)  # (1, Q) broadcast
-        up = _shift_down(a1, BIG, lane_b)
-        left = jnp.where(rs, BIG, a1)
-        diag = jnp.where(rs, BIG, _shift_down(a2, BIG, lane_b))
-        a_new = local + jnp.minimum(jnp.minimum(up, left), diag)
+        # up = a1 shifted; diag = a2 shifted; left = a1. The rs track-
+        # reset mask applies to left+diag (both read column j-1 of the
+        # previous track); lane 0 needs no shift fill because the free-
+        # start select below overwrites the whole row
+        up = pltpu.roll(a1, shift=1, axis=1)
+        ld = jnp.where(rs, BIG, jnp.minimum(a1, pltpu.roll(a2, shift=1, axis=1)))
+        a_new = local + jnp.minimum(up, ld)
         a_new = jnp.where(lane_b == 0, local, a_new)  # free start row
 
         # emit the per-read last-row element for this diagonal
