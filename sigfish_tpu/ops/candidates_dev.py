@@ -138,9 +138,11 @@ def device_window_top5(
     """
     B = scores.shape[0]
     if reindex:
-        j = jnp.arange(R, dtype=jnp.int32)
-        idx = j[None, :] + (qlens[:, None] - 1)
-        lr = jnp.take_along_axis(scores, idx, axis=1)
+        # diag-indexed -> column-indexed last row. For the uniform case
+        # (qlen == W) this is the STATIC slice ds[:, W-1 : W-1+R] -- no
+        # per-read gather. Rows whose qlen != W get garbage here; the
+        # caller replaces them via the host fallback path.
+        lr = jax.lax.slice_in_dim(scores, W - 1, W - 1 + R, axis=1)
     else:
         lr = scores[:, :R]
     lr = jnp.where(valid[None, :], lr, BIG)
