@@ -58,6 +58,11 @@ run_case rna_from_end  "$RNA_TSV" $RNA_ARGS --rna -q 500 --from-end
 run_case rna_dtw_std   "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1 --dtw-std
 run_case rna_sam       "$RNA_TSV" $RNA_ARGS --rna -q 500 -p -1 --sam
 run_case rna_invert    "$RNA_TSV" $RNA_ARGS --rna -q 500 --invert --full-ref -p 0
+run_case dna_multibatch "$DNA_TSV" $DNA_ARGS -K 2
+run_case dna_B_small    "$DNA_TSV" $DNA_ARGS -B 10K
+run_case rna_q250_p100  "$RNA_TSV" $RNA_ARGS --rna -q 250 -p 100
+run_case rna_fe_fr      "$RNA_TSV" $RNA_ARGS --rna -q 500 --from-end --full-ref
+run_case dna_sam_q100   "$DNA_TSV" $DNA_ARGS --sam -q 100
 
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
