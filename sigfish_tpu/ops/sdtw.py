@@ -19,11 +19,12 @@ Design (TPU-first, not a port):
 
   Only the *last row* (row qlen-1 per read, selected by a one-hot since
   short reads have qlen < Q, ref src/sigfish.c:457-461) leaves the scan:
-  that is all the candidate search needs (src/sigfish.c:891-900).
-  Checkpoint carries are emitted every `ckpt` columns so the winner's
-  alignment path can be recovered by recomputing a tiny column window on
-  the host (see ops/sdtw_ref.subsequence_cost_seeded) instead of storing
-  the O(n*m) matrix.
+  that is all the candidate search needs (src/sigfish.c:891-900). The
+  winner's alignment path is recovered afterwards by recomputing a small
+  fresh column window on the host (exact by the subsequence free-start
+  property; sigfish_tpu/native sf_subsequence + sf_subsequence_path)
+  instead of storing the O(n*m) matrix. `ckpt` is the scan's column
+  chunking granularity (the reference array is padded to a multiple).
 
   float32 everywhere: the DP is min-plus (no MXU); bf16 would corrupt
   near-tie argmin decisions that decide mapq.

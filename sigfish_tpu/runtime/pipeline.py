@@ -8,16 +8,22 @@ Stage decomposition mirrors the reference's per-read pipeline
   normalise     host   per read, embarrassingly parallel (thread pool /
                        C++ ext), ref parse_single/event_single/
                        normalise_single (sigfish.c:317-505)
-  sDTW          DEVICE one batched column scan over all (contig,strand)
-                       tracks for the whole read batch (ops/sdtw.py),
+  sDTW +
+  candidates    DEVICE batched wavefront sDTW (Pallas; lax.scan engine as
+                       fallback) over all (contig,strand) tracks for the
+                       whole read batch, with the window-argmin + top-5
+                       candidate reduction fused on device
+                       (ops/sdtw_pallas.py + ops/candidates_dev.py) --
                        replacing the reference's per-read per-contig
-                       scalar DP (sigfish.c:870-964)
-  candidates    host   window argmin + top-2 + backtrack window recompute
-  output        host   PAF/SAM strings in batch order (sigfish.c:1051)
+                       scalar DP + host scan (sigfish.c:870-964)
+  backtrack/
+  output        host   winner path recompute (native C++) + PAF/SAM
+                       strings in batch order (sigfish.c:1051)
 
 The reference's pthread work-stealing (src/thread.c) maps to: host stages
-on a thread pool; device stage batched data-parallel (and sharded over a
-Mesh, see parallel/).
+on a thread pool, overlapped with device time by the double-buffered
+batch loop; device stage batched data-parallel (and sharded over a
+(dp, tp) Mesh, see parallel/).
 """
 
 from __future__ import annotations
