@@ -21,7 +21,7 @@ import time
 faulthandler.enable()
 
 from . import __version__
-from .utils import log_info, set_log_level, realtime, cputime, peakrss
+from .utils import set_log_level, realtime, cputime, peakrss
 
 
 def _parse_num(s: str) -> int:

@@ -29,7 +29,7 @@ batch loop; device stage batched data-parallel (and sharded over a
 from __future__ import annotations
 
 import concurrent.futures as _fut
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -836,8 +836,12 @@ def run_dtw(core: Core, out_fp) -> None:
         t0 = time.time()
         lines, stats = finish_batch(core, pending)
         core.process_db_time += time.time() - t0
+        import os as _os
+
+        _rt = time.time() - realtime0
+        _cpu = sum(_os.times()[:2]) / _rt if _rt > 0 else 0.0
         sys.stderr.write(
-            f"[run_dtw::{time.time()-realtime0:.3f}] {stats.n_rec} Entries "
+            f"[dtw_main::{_rt:.3f}*{_cpu:.2f}] {stats.n_rec} Entries "
             f"({stats.sum_bytes/1e6:.1f}M bytes) processed\n"
         )
         t0 = time.time()
@@ -864,8 +868,12 @@ def run_dtw(core: Core, out_fp) -> None:
         core.load_db_time += time.time() - t0
         new_pending = None
         if blobs:
+            import os as _os
+
+            _rt = time.time() - realtime0
+            _cpu = sum(_os.times()[:2]) / _rt if _rt > 0 else 0.0
             sys.stderr.write(
-                f"[run_dtw::{time.time()-realtime0:.3f}] {len(blobs)} Entries "
+                f"[dtw_main::{_rt:.3f}*{_cpu:.2f}] {len(blobs)} Entries "
                 f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
             )
             if opt.profile and pending is not None:
