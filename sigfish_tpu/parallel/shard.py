@@ -8,16 +8,17 @@ one process (src/thread.c:24-116). The TPU-native equivalents here:
                        reference's per-read work queue.
   tp (track parallel)  the (contig, strand) tracks of the synthesized
                        reference are partitioned across mesh axis 'tp'
-                       (whole tracks, balanced by length -- a track's DP
-                       column scan is sequential in the reference axis, so
-                       splitting *within* a track would serialize on the
-                       carry; splitting *across* tracks is free). Each
-                       shard scans only its tracks; `jax.lax.all_gather`
-                       over 'tp' reassembles the full last-row score
-                       matrix on every device.
+                       (whole tracks, contiguous balanced split -- a
+                       track's DP column scan is sequential in the
+                       reference axis, so splitting *within* a track
+                       would serialize on the carry; splitting *across*
+                       tracks is free). Each shard scans only its tracks;
+                       `jax.lax.all_gather` over 'tp' reassembles the
+                       full last-row score matrix on every device.
 
 Candidate ranking (window argmin + top-5, src/sigfish.c:891-900,575-626)
-stays on the host: it is O(B x R / qlen) scalar work on a tiny result.
+then runs on the gathered device array via ops/candidates_dev.py under
+GSPMD; only (B, 5) results reach the host.
 
 Collectives ride ICI via XLA GSPMD; no NCCL/MPI analog exists or is
 needed.
@@ -50,8 +51,8 @@ def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
 def shard_tracks(
     tracks: list[np.ndarray], n_tp: int, ckpt: int = 512, align: int = 1
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[list[int]]]:
-    """Partition whole tracks across n_tp shards, balanced by length
-    (greedy LPT), each shard padded to the common per-shard width.
+    """Partition whole tracks across n_tp shards (contiguous balanced
+    split), each shard padded to the common per-shard width.
 
     With align > 1 every track segment inside a shard starts at an align
     multiple and the per-shard width Rs is an align multiple too, so the
