@@ -96,6 +96,11 @@ def _load():
         ctypes.c_int64,
     ]
     lib.sf_blow5_decode.restype = ctypes.c_int64
+    lib.sf_subsequence_backtrack.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.sf_subsequence_backtrack.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -148,6 +153,27 @@ def path(cost: np.ndarray, starty: int):
     py = np.empty(n + m + 2, np.int32)
     cost = np.ascontiguousarray(cost, np.float32)
     k = lib.sf_path(cost.reshape(-1), n, m, int(starty), px, py)
+    return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def subsequence_backtrack(x: np.ndarray, y: np.ndarray, starty: int,
+                          std: bool = False):
+    """Fused DP window recompute + greedy backtrack (one native call,
+    no host-side cost matrix). Returns (px, py) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    n, m = x.size, y.size
+    px = np.empty(n + m + 2, np.int32)
+    py = np.empty(n + m + 2, np.int32)
+    k = lib.sf_subsequence_backtrack(
+        x.ctypes.data, n, y.ctypes.data, m, int(starty), int(std),
+        px.ctypes.data, py.ctypes.data,
+    )
+    if k < 0:
+        return None
     return px[:k].astype(np.int64), py[:k].astype(np.int64)
 
 

@@ -129,6 +129,22 @@ int32_t sf_subsequence_path(const float* cost, int32_t n, int32_t m,
     return k - a_star;
 }
 
+// Fused window recompute + backtrack: sf_subsequence (or sf_std_dtw)
+// into an internal buffer, then sf_subsequence_path. Returns the path
+// length (px/py must hold n+m entries), or -1 on allocation failure.
+// Saves the Python-side cost-matrix round trip on the per-winner path.
+int32_t sf_subsequence_backtrack(const float* x, int32_t n, const float* y,
+                                 int32_t m, int32_t starty, int32_t use_std,
+                                 int32_t* px, int32_t* py) {
+    float* cost = (float*)malloc(sizeof(float) * (int64_t)n * m);
+    if (!cost) return -1;
+    if (use_std) sf_std_dtw(x, n, y, m, cost, 0);
+    else sf_subsequence(x, n, y, m, cost);
+    int32_t k = sf_subsequence_path(cost, n, m, starty, px, py);
+    free(cost);
+    return k;
+}
+
 // ------------------------------------------------------------ zscore
 
 // In-place population z-score with *sequential* float32 accumulation --

@@ -588,16 +588,15 @@ def _backtrack_best(
 
     from .. import native
 
-    span = pos_local + 1 if opt.dtw_std else min(max(3 * qlen, 64), pos_local + 1)
+    span = pos_local + 1 if opt.dtw_std else min(max(2 * qlen, 64), pos_local + 1)
     while True:
         j_lo = pos_global + 1 - span
         ref_cols = core.ref_cat[j_lo : pos_global + 1]
         if native.available():
-            if opt.dtw_std:
-                cost = native.std_dtw_cost(w.query, ref_cols)
-            else:
-                cost = native.subsequence_cost(w.query, ref_cols)
-            px, py = native.subsequence_path(cost, span - 1)
+            res = native.subsequence_backtrack(
+                w.query, ref_cols, span - 1, std=opt.dtw_std
+            )
+            px, py = res
         else:
             cost = subsequence_cost_seeded(w.query, ref_cols, None, std=opt.dtw_std)
             px, py = subsequence_path(cost, span - 1)
