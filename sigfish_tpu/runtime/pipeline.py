@@ -711,9 +711,10 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
     else:
         last_row = pending.last_row
 
+    # pass 1: winner selection per read (cheap host work)
+    winners = []  # (slot, w, t, pos_end_local, d1, d2, rid, strand)
     for slot, i in enumerate(live):
         w = works[i]
-        qlen = int(qlens[slot])
         if not opt.dtw_std:
             s0 = float(top_s[slot, 0])
             if top_p[slot, 0] < 0 or s0 >= 1e37:
@@ -749,9 +750,21 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
             t = cand_track[best]
             rid, strand = core.track_meta[t]
             pos_end_local = int(cand_pos[best])
+        winners.append((slot, w, t, pos_end_local, d1, d2, rid, strand))
 
-        pos_st_local, r2q = _backtrack_best(core, w, t, pos_end_local)
+    # pass 2: winner backtracks (native calls release the GIL -> the
+    # thread pool parallelizes them on multi-core hosts)
+    if core._pool is not None and len(winners) > 1:
+        paths = list(
+            core._pool.map(lambda a: _backtrack_best(core, a[1], a[2], a[3]), winners)
+        )
+    else:
+        paths = [_backtrack_best(core, a[1], a[2], a[3]) for a in winners]
 
+    # pass 3: coordinates + formatting
+    for (slot, w, t, pos_end_local, d1, d2, rid, strand), (
+        pos_st_local, r2q
+    ) in zip(winners, paths):
         # strand flip + RNA offset, ref sigfish.c:971-977
         rlen = core.ref.ref_lengths[rid]
         if strand == "+":
