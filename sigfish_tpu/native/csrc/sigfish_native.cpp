@@ -129,19 +129,68 @@ int32_t sf_subsequence_path(const float* cost, int32_t n, int32_t m,
     return k - a_star;
 }
 
-// Fused window recompute + backtrack: sf_subsequence (or sf_std_dtw)
-// into an internal buffer, then sf_subsequence_path. Returns the path
-// length (px/py must hold n+m entries), or -1 on allocation failure.
-// Saves the Python-side cost-matrix round trip on the per-winner path.
+// Anti-diagonal subsequence DP: on diagonal d = i + j every cell
+//   A_d[i] = |x[i] - y[d-i]| + min(A_{d-1}[i-1], A_{d-1}[i], A_{d-2}[i-1])
+// is independent, so the inner loop auto-vectorizes (contiguous loads
+// from two compact diagonal buffers). Per-cell operations are identical
+// to the row-major loop, so the cost matrix is bitwise identical --
+// only the evaluation order across independent cells changes.
+static void subsequence_diag(const float* __restrict x, int32_t n,
+                             const float* __restrict y, int32_t m,
+                             float* __restrict cost,
+                             float* __restrict scratch /* 3*(n+1) */) {
+    // row 0: free start; column 0: cumulative (as in sf_subsequence)
+    for (int32_t j = 0; j < m; j++) cost[j] = fabsf(x[0] - y[j]);
+    {
+        float acc = cost[0];
+        for (int32_t i = 1; i < n; i++) {
+            acc += fabsf(x[i] - y[0]);
+            cost[(int64_t)i * m] = acc;
+        }
+    }
+    float* a2 = scratch;            // A_{d-2}
+    float* a1 = scratch + (n + 1);  // A_{d-1}
+    float* a0 = scratch + 2 * (n + 1);
+    a2[0] = cost[0];                              // d = 0: (0,0)
+    a1[0] = cost[1];                              // d = 1: (0,1)
+    if (n > 1) a1[1] = cost[(int64_t)1 * m];      // d = 1: (1,0)
+    for (int32_t d = 2; d <= n - 1 + m - 1; d++) {
+        int32_t ilo = d - (m - 1);
+        if (ilo < 1) ilo = 1;
+        int32_t ihi = d - 1;
+        if (ihi > n - 1) ihi = n - 1;
+        if (d < m) a0[0] = cost[d];               // row 0 boundary
+        for (int32_t i = ilo; i <= ihi; i++) {    // vectorizable
+            float up = a1[i - 1];
+            float left = a1[i];
+            float dg = a2[i - 1];
+            float mn = left;
+            if (dg < mn) mn = dg;
+            if (up < mn) mn = up;
+            a0[i] = fabsf(x[i] - y[d - i]) + mn;
+        }
+        for (int32_t i = ilo; i <= ihi; i++)      // scatter to row-major
+            cost[(int64_t)i * m + (d - i)] = a0[i];
+        if (d <= n - 1) a0[d] = cost[(int64_t)d * m];  // column 0 boundary
+        float* t = a2; a2 = a1; a1 = a0; a0 = t;
+    }
+}
+
+// Fused window recompute + backtrack (anti-diagonal DP for subsequence;
+// row-major for std). Returns the path length (px/py must hold n+m
+// entries), or -1 on allocation failure.
 int32_t sf_subsequence_backtrack(const float* x, int32_t n, const float* y,
                                  int32_t m, int32_t starty, int32_t use_std,
                                  int32_t* px, int32_t* py) {
     float* cost = (float*)malloc(sizeof(float) * (int64_t)n * m);
-    if (!cost) return -1;
+    float* scratch = (float*)malloc(sizeof(float) * 3 * (int64_t)(n + 1));
+    if (!cost || !scratch) { free(cost); free(scratch); return -1; }
     if (use_std) sf_std_dtw(x, n, y, m, cost, 0);
+    else if (n >= 2 && m >= 2) subsequence_diag(x, n, y, m, cost, scratch);
     else sf_subsequence(x, n, y, m, cost);
     int32_t k = sf_subsequence_path(cost, n, m, starty, px, py);
     free(cost);
+    free(scratch);
     return k;
 }
 
