@@ -324,6 +324,12 @@ class Core:
 
     def sdtw_candidates_collect(self, handle) -> tuple[np.ndarray, np.ndarray]:
         """Block on a submitted device computation; run host fallbacks."""
+        if "parts" in handle:
+            outs = [self.sdtw_candidates_collect(h) for h in handle["parts"]]
+            return (
+                np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]),
+            )
         qlens = handle["qlens"]
         B = handle["B"]
         W = self.opt.query_size
@@ -345,12 +351,27 @@ class Core:
             top_p[b] = p5
         return top_s, top_p
 
+    # max device batch rows per kernel launch: B=512 x Q<=512 fits the
+    # 16 MB scoped-VMEM budget of the wavefront kernel; larger -K loads
+    # are split into sub-launches
+    DEVICE_CHUNK = 512
+
     def sdtw_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
     ) -> dict:
         """Dispatch the device computation asynchronously; returns a
         handle for sdtw_candidates_collect. Lets the caller overlap the
         next batch's host stages with this batch's device time."""
+        B = qb.shape[0]
+        if self.mesh is None and B > self.DEVICE_CHUNK:
+            C = self.DEVICE_CHUNK
+            parts = [
+                self.sdtw_candidates_submit(
+                    qb[o : o + C], qlens[o : o + C], onehot[o : o + C]
+                )
+                for o in range(0, B, C)
+            ]
+            return dict(parts=parts, B=B, qlens=qlens)
         R = self.ref_cat.shape[0]
         W = self.opt.query_size
         qlens_dev = jnp.asarray(qlens.astype(np.int32))
