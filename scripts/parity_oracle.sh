@@ -76,4 +76,18 @@ else
   FAIL=$((FAIL+1))
 fi
 
+# eval flag variants
+for ev_flags in "--secondary no" "--tid-only"; do
+  "$ORACLE" eval $ev_flags "$REF/sequin_rna.minimap2.paf" "$OUT/rna_default.oracle" \
+      > "$OUT/eval_v.oracle" 2>/dev/null
+  python -m sigfish_tpu.cli eval $ev_flags "$REF/sequin_rna.minimap2.paf" "$OUT/rna_default.oracle" \
+      > "$OUT/eval_v.ours" 2>/dev/null
+  if diff -q "$OUT/eval_v.oracle" "$OUT/eval_v.ours" > /dev/null; then
+    echo "PASS eval $ev_flags"; PASS=$((PASS+1))
+  else
+    echo "DIFF eval $ev_flags"; diff "$OUT/eval_v.oracle" "$OUT/eval_v.ours" | head -6
+    FAIL=$((FAIL+1))
+  fi
+done
+
 echo "== $PASS pass, $FAIL diff =="
