@@ -101,6 +101,11 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.sf_subsequence_backtrack.restype = ctypes.c_int32
+    lib.sf_jnnv2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.sf_jnnv2.restype = None
     _lib = lib
     return lib
 
@@ -220,6 +225,20 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
             cap *= 4
             continue
         return None
+
+
+def jnnv2(sig_i16: np.ndarray, window: int, std_scale: float,
+          seg_dist: int, hi_thresh: int, lo_thresh: int):
+    """Full adaptor finder, bit-exact with jnn.c:100-180 (running-sum
+    rolling mean, sequential-f32 stats). Returns (x, y) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(sig_i16, np.int16)
+    out = np.empty(2, np.int64)
+    lib.sf_jnnv2(sig.ctypes.data, sig.size, window, std_scale,
+                 seg_dist, hi_thresh, lo_thresh, out.ctypes.data)
+    return int(out[0]), int(out[1])
 
 
 def jnn_segments(t: np.ndarray, bot: float, seg_dist: int):

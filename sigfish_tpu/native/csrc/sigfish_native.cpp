@@ -458,6 +458,89 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
 
 // ---------------------------------------------------------------- jnn
 
+// Full jnnv2 adaptor finder: bit-exact port of jnn.c:100-180 including
+// the reference's float arithmetic -- outlier clamp to [0,1200]
+// (jnn.c:62-77), rolling mean via an f32 *running* accumulator
+// (jnn.c:21-57; a cumsum would round differently over 40k samples),
+// sequential-f32 mean/std of the trace (stat.h:17-44), threshold
+// mean - std*scale, segment merge within seg_dist, [lo,hi] length
+// filter, +window/2-1 offset. Writes (x, y) into out[0..1]; (-1,-1)
+// when nsample <= window, (0,0) when nothing qualifies.
+void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
+              float std_scale, int64_t seg_dist, int64_t hi_thresh,
+              int64_t lo_thresh, int64_t* out) {
+    if (nsample <= window) {
+        out[0] = -1; out[1] = -1;
+        return;
+    }
+    const float OUT_MAX = 1200.0f, OUT_MIN = 0.0f;
+    int64_t tn = nsample - window;
+    float* t = (float*)malloc(sizeof(float) * tn);
+    if (!t) { out[0] = -1; out[1] = -1; return; }
+    // clamped view + exact running-sum rolling mean
+    float tt = 0.0f;
+    const float wf = (float)window;
+#define CLAMP(v) ((v) > OUT_MAX ? OUT_MAX : ((v) < OUT_MIN ? OUT_MIN : (float)(v)))
+    for (int64_t i = 0; i < window; i++) tt += CLAMP(sig[i]);
+    t[0] = tt / wf;
+    for (int64_t i = 1; i < tn; i++) {
+        tt -= CLAMP(sig[i - 1]);
+        tt += CLAMP(sig[i + window - 1]);
+        t[i] = tt / wf;
+    }
+#undef CLAMP
+    float sum = 0.0f;
+    for (int64_t i = 0; i < tn; i++) sum += t[i];
+    float mn = sum / tn;
+    float vs = 0.0f;
+    for (int64_t i = 0; i < tn; i++) vs += (t[i] - mn) * (t[i] - mn);
+    float std = sqrtf(vs / tn);
+    float bot = mn - std * std_scale;
+
+    int64_t cap = 256, nseg = 0;
+    int64_t* segs = (int64_t*)malloc(sizeof(int64_t) * 2 * cap);
+    if (!segs) { free(t); out[0] = -1; out[1] = -1; return; }
+    int begin = 0;
+    int64_t start = 0, end = 0;
+    for (int64_t j = 0; j < tn; j++) {
+        float v = t[j];
+        if (v < bot && !begin) {
+            start = j;
+            begin = 1;
+        } else if (v < bot) {
+            end = j;
+        } else if (v > bot && begin) {
+            if (nseg && start - segs[2 * (nseg - 1) + 1] < seg_dist) {
+                segs[2 * (nseg - 1) + 1] = end;
+            } else {
+                if (nseg >= cap) {
+                    cap *= 2;
+                    int64_t* ns =
+                        (int64_t*)realloc(segs, sizeof(int64_t) * 2 * cap);
+                    if (!ns) { free(t); free(segs); out[0]=-1; out[1]=-1; return; }
+                    segs = ns;
+                }
+                segs[2 * nseg] = start;
+                segs[2 * nseg + 1] = end;
+                nseg++;
+            }
+            start = 0;
+            end = 0;
+            begin = 0;
+        }
+    }
+    out[0] = 0; out[1] = 0;
+    for (int64_t i = 0; i < nseg; i++) {
+        int64_t a = segs[2 * i], b = segs[2 * i + 1];
+        if (b - a > hi_thresh || b - a < lo_thresh) continue;
+        out[0] = a + window / 2 - 1;
+        out[1] = b + window / 2 - 1;
+        break;
+    }
+    free(t);
+    free(segs);
+}
+
 // Segment extractor over a below-threshold mask of the rolling-mean
 // trace (adaptor finder inner loop). Exact port of ops/jnn.py:91-108 /
 // jnn.c:100-180 (merge segments closer than seg_dist).

@@ -82,6 +82,15 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
     n = sig_raw.size
     if n <= param.window:
         return (-1, -1)
+    from .. import native
+
+    if sig_raw.dtype == np.int16:
+        res = native.jnnv2(
+            sig_raw, param.window, param.std_scale, param.seg_dist,
+            param.hi_thresh, param.lo_thresh,
+        )
+        if res is not None:
+            return res
     t = _rolling_mean(_rm_outlier(sig_raw), param.window)
     mn = float(np.mean(t))
     std = float(np.std(t))
