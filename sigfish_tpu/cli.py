@@ -69,6 +69,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--from-end", action="store_true", help="map the end portion of the query")
     p.add_argument("--profile-cpu", type=_yes_no, default=False, metavar="yes|no", help="process section by section with per-stage timers")
     p.add_argument("--accel", type=_yes_no, default=None, metavar="yes|no", help="use the TPU engine [auto]")
+    p.add_argument("--engine", choices=["pallas", "scan", "native"], default=None, help="sDTW engine [auto: pallas on TPU, native C++ on CPU]")
     p.add_argument("-a", "--sam", action="store_true", help="output in SAM format")
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default=None, help="pore chemistry [auto]")
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
@@ -129,6 +130,7 @@ def dtw_main(argv: list[str]) -> int:
         profile=args.profile_cpu,
         ckpt=args.ckpt,
         use_pallas=args.accel,
+        engine=args.engine,
         mesh=args.mesh,
     )
     if args.shard:

@@ -106,6 +106,11 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
     lib.sf_jnnv2.restype = None
+    lib.sf_subsequence_lastrow.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.sf_subsequence_lastrow.restype = None
     _lib = lib
     return lib
 
@@ -180,6 +185,25 @@ def subsequence_backtrack(x: np.ndarray, y: np.ndarray, starty: int,
     if k < 0:
         return None
     return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def subsequence_lastrow(x: np.ndarray, y: np.ndarray,
+                        out: np.ndarray | None = None):
+    """Last DP row with O(m) memory (the native CPU engine's scoring
+    pass). Returns the (m,) row or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    if out is None:
+        out = np.empty(y.size, np.float32)
+    scratch = np.empty(y.size, np.float32)
+    lib.sf_subsequence_lastrow(
+        x.ctypes.data, x.size, y.ctypes.data, y.size,
+        out.ctypes.data, scratch.ctypes.data,
+    )
+    return out
 
 
 def zscore_inplace(x: np.ndarray) -> bool:

@@ -176,6 +176,37 @@ static void subsequence_diag(const float* __restrict x, int32_t n,
     }
 }
 
+// Last-row-only subsequence DP with O(m) memory (two alternating rows):
+// the host CPU engine's scoring pass, same recurrence as sf_subsequence.
+// Writes row n-1 into lastrow (m floats).
+void sf_subsequence_lastrow(const float* __restrict x, int32_t n,
+                            const float* __restrict y, int32_t m,
+                            float* __restrict lastrow, float* scratch /* m */) {
+    float* prev = scratch;
+    float* cur = lastrow;
+    for (int32_t j = 0; j < m; j++) prev[j] = fabsf(x[0] - y[j]);
+    if (n == 1) {
+        memcpy(lastrow, prev, sizeof(float) * m);
+        return;
+    }
+    float col0 = prev[0];
+    for (int32_t i = 1; i < n; i++) {
+        const float xi = x[i];
+        col0 += fabsf(xi - y[0]);
+        cur[0] = col0;
+        float up_acc = col0;
+        for (int32_t j = 1; j < m; j++) {
+            float mn = prev[j];
+            if (prev[j - 1] < mn) mn = prev[j - 1];
+            if (up_acc < mn) mn = up_acc;
+            up_acc = fabsf(xi - y[j]) + mn;
+            cur[j] = up_acc;
+        }
+        float* t = prev; prev = cur; cur = t;
+    }
+    if (prev != lastrow) memcpy(lastrow, prev, sizeof(float) * m);
+}
+
 // Fused window recompute + backtrack (anti-diagonal DP for subsequence;
 // row-major for std). Returns the path length (px/py must hold n+m
 // entries), or -1 on allocation failure.

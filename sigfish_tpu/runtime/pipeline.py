@@ -91,7 +91,8 @@ class Options:
     debug_break: int = -1
     profile: bool = False
     ckpt: int = 512
-    use_pallas: bool | None = None  # None = auto (TPU yes, CPU no)
+    use_pallas: bool | None = None  # legacy --accel: True=pallas, False=scan
+    engine: str | None = None  # None=auto | "pallas" | "scan" | "native"
     mesh: str | None = None  # "DPxTP" device mesh, e.g. "4x2"; None = 1 device
     shard_id: int = 0   # multi-host record stripe I of N
     n_shards: int = 1
@@ -185,10 +186,25 @@ class Core:
         # elsewhere (and for --dtw-std, which is tiny-track RNA-only)
         import jax
 
-        if opt.use_pallas is None:
-            self.use_pallas = jax.default_backend() == "tpu"
+        # engine: Pallas wavefront on TPU; on CPU-only hosts the native
+        # C++ two-row DP (the reference's own execution model, threaded)
+        # beats CPU-XLA by orders of magnitude; lax.scan is the portable
+        # third engine and semantics oracle
+        from .. import native as _native
+
+        if opt.engine:
+            self.engine = opt.engine
+        elif opt.use_pallas is True:
+            self.engine = "pallas"
+        elif opt.use_pallas is False:
+            self.engine = "scan"
+        elif jax.default_backend() == "tpu":
+            self.engine = "pallas"
+        elif _native.available():
+            self.engine = "native"
         else:
-            self.use_pallas = opt.use_pallas
+            self.engine = "scan"
+        self.use_pallas = self.engine == "pallas"
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
         self._wf_cache: dict[int, tuple] = {}
 
@@ -330,6 +346,8 @@ class Core:
                 np.concatenate([o[0] for o in outs]),
                 np.concatenate([o[1] for o in outs]),
             )
+        if handle.get("native"):
+            return handle["top_s"], handle["top_p"]
         qlens = handle["qlens"]
         B = handle["B"]
         W = self.opt.query_size
@@ -362,6 +380,8 @@ class Core:
         """Dispatch the device computation asynchronously; returns a
         handle for sdtw_candidates_collect. Lets the caller overlap the
         next batch's host stages with this batch's device time."""
+        if self.engine == "native" and self.mesh is None:
+            return self._native_candidates_submit(qb, qlens)
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK
@@ -436,6 +456,40 @@ class Core:
             top_s=top_s, top_p=top_p, scores=scores, reindex=reindex,
             qlens=qlens, qlens_dev=qlens_dev, B=qb.shape[0],
         )
+
+    def _native_candidates_submit(self, qb: np.ndarray, qlens: np.ndarray) -> dict:
+        """CPU engine: per-read native two-row DP over every track (the
+        reference's execution model, threaded -- native calls release
+        the GIL) + the host window scan. Bit-exact scalar order."""
+        from .. import native
+
+        B = qb.shape[0]
+        R = self.ref_cat.shape[0]
+        top_s = np.full((B, 5), np.float32(3.0e38))
+        top_p = np.full((B, 5), -1, dtype=np.int64)
+
+        def one(slot: int):
+            qlen = int(qlens[slot])
+            if qlen <= 0:
+                return
+            q = qb[slot, :qlen]
+            lr = np.full(R, np.float32(3.0e38))
+            for t, track in enumerate(self.tracks):
+                lo = int(self.track_offsets[t])
+                if track.size:
+                    native.subsequence_lastrow(
+                        q, track, out=lr[lo : lo + track.size]
+                    )
+            s5, p5 = self._host_top5(lr, qlen)
+            top_s[slot] = s5
+            top_p[slot] = p5
+
+        if self._pool is not None and B > 1:
+            list(self._pool.map(one, range(B)))
+        else:
+            for slot in range(B):
+                one(slot)
+        return dict(native=True, top_s=top_s, top_p=top_p, qlens=qlens, B=B)
 
     def _host_top5(self, lr_row: np.ndarray, qlen: int):
         """Window scan + update_aln top-5 for one read (exact reference
