@@ -124,6 +124,13 @@ class Core:
             log_verbose("Detected RNA data. --rna was set automatically.")
         elif exp not in ("genomic_dna", "rna"):
             log_warning(f"Unknown experiment type: {exp}. Assuming genomic_dna")
+        for g in range(1, self.sf.num_read_groups):
+            curr = self.sf.header_get("experiment_type", g)
+            if exp is not None and curr != exp:
+                log_warning(
+                    f"Experiment type mismatch: {curr} != {exp} in read "
+                    f"group {g}. Defaulted to {exp}"
+                )
 
         if opt.pore is None:
             kit = self.sf.header_get("sequencing_kit", 0)
@@ -137,6 +144,13 @@ class Core:
             elif "rna004" in kit:
                 opt.pore_flag = PORE_RNA004
                 log_verbose("Detected RNA004 data. --pore rna004 was set automatically.")
+            for g in range(1, self.sf.num_read_groups):
+                curr = self.sf.header_get("sequencing_kit", g)
+                if kit is not None and curr != kit:
+                    log_warning(
+                        f"sequencing_kit type mismatch: {curr} != {kit} in "
+                        f"read group {g}. Defaulted to {kit}"
+                    )
         else:
             opt.pore_flag = {"r9": PORE_R9, "r10": PORE_R10, "rna004": PORE_RNA004}[opt.pore]
 
