@@ -181,6 +181,97 @@ def sharded_engine(
     )(queries, row_onehot, qlens, ref, reset, ypad, rspad)
 
 
+@partial(jax.jit, static_argnames=("mesh", "n_micro", "ckpt"))
+def ring_fullref_lastrow(
+    queries: jnp.ndarray,   # (B, Q) f32, replicated; B divisible by n_micro
+    row_onehot: jnp.ndarray,  # (B, Q)
+    seg_ref: jnp.ndarray,   # (n_tp, Rs) contiguous column segments of ONE track
+    mesh: Mesh,
+    n_micro: int,
+    ckpt: int = 512,
+) -> jnp.ndarray:
+    """Reference-axis sharding for a single huge track (--full-ref on a
+    genome-scale contig, SURVEY §5 long-context): the DP column scan is
+    sequential in the reference axis, so segment s's carry feeds segment
+    s+1 -- a *pipeline* over the mesh's 'tp' ring. The read batch is cut
+    into n_micro microbatches; at schedule step t, device s scans
+    microbatch (t - s) over its column segment while its neighbor works
+    the previous microbatch, and the O(B/n_micro x Q) carry column hops
+    rings via ppermute. Bubble fraction = (n_tp-1)/(n_micro+n_tp-1).
+
+    Returns last_row (B, n_tp*Rs) replicated. No reset masks: DP state
+    flows across segment boundaries (that is the point).
+    """
+    B, Q = queries.shape
+    n_tp = seg_ref.shape[0]
+    Rs = seg_ref.shape[1]
+    Bm = B // n_micro
+    BIGv = jnp.float32(3.0e38)
+
+    def local(q, oh, seg):
+        s = jax.lax.axis_index("tp")
+        seg1 = seg[0]  # (Rs,)
+        nsteps = n_micro + n_tp - 1
+
+        def scan_segment(carry_col, qm, ohm):
+            # one microbatch over this device's columns (no resets)
+            def col_step(c, y):
+                local_c = jnp.abs(qm - y)
+                new = _col_update_noreset(c, local_c)
+                lr = jnp.sum(new * ohm, axis=1)
+                return new, lr
+            col, lr_cols = jax.lax.scan(col_step, carry_col, seg1)
+            return col, lr_cols.T  # (Bm, Rs)
+
+        def step(state, t):
+            incoming, out = state
+            m = t - s
+            active = jnp.logical_and(m >= 0, m < n_micro)
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            qm = jax.lax.dynamic_slice_in_dim(q, m_c * Bm, Bm, axis=0)
+            ohm = jax.lax.dynamic_slice_in_dim(oh, m_c * Bm, Bm, axis=0)
+            # segment 0 starts fresh; others take the neighbor's carry
+            init_col = jnp.where(s == 0, BIGv, incoming)
+            col, lr_seg = scan_segment(init_col, qm, ohm)
+            out = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice_in_dim(out, lr_seg[None], m_c, axis=0),
+                out,
+            )
+            outgoing = jnp.where(active, col, incoming)
+            nxt = jax.lax.ppermute(
+                outgoing, "tp", [(i, (i + 1) % n_tp) for i in range(n_tp)]
+            )
+            return (nxt, out), None
+
+        out0 = jnp.zeros((n_micro, Bm, Rs), jnp.float32)
+        inc0 = jnp.full((Bm, Q), BIGv, jnp.float32)
+        state, _ = jax.lax.scan(step, (inc0, out0), jnp.arange(nsteps))
+        out = state[1]
+        lr_local = out.reshape(B, Rs)
+        return jax.lax.all_gather(lr_local, "tp", axis=1, tiled=True)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tp", None)),
+        out_specs=P(),
+        check_vma=False,
+    )(queries, row_onehot, seg_ref)
+
+
+def _col_update_noreset(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
+    """Single DP column update (prefix-min identity), no track resets."""
+    s = jnp.cumsum(local, axis=1, dtype=jnp.float32)
+    c_up = jnp.concatenate(
+        [jnp.full_like(c[:, :1], jnp.float32(3.0e38)), c[:, :-1]], axis=1
+    )
+    m = jnp.minimum(c, c_up)
+    t = jnp.concatenate([jnp.zeros_like(s[:, :1]), m[:, 1:] - s[:, :-1]], axis=1)
+    g = jax.lax.associative_scan(jnp.minimum, t, axis=1)
+    return s + g
+
+
 def sharded_sdtw_step(
     mesh: Mesh,
     queries: list[np.ndarray],

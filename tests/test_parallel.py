@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 import pytest
 
 from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
@@ -75,3 +76,35 @@ def test_mesh_pipeline_matches_single_device(tmp_path):
         return out.getvalue()
 
     assert run("4x2") == run(None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_fullref_matches_single_device():
+    """Reference-axis ring pipeline over one huge track == single scan."""
+    from sigfish_tpu.parallel.shard import ring_fullref_lastrow
+
+    rng = np.random.default_rng(0)
+    n_tp, Rs = 4, 512
+    R = n_tp * Rs
+    track = rng.standard_normal(R).astype(np.float32)
+    B, Q = 8, 64
+    queries = [rng.standard_normal(48 + i).astype(np.float32) for i in range(B)]
+    qb, qlens, onehot = make_query_batch(queries, pad_q=Q)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_tp]).reshape(1, n_tp), ("dp", "tp"))
+    seg = track.reshape(n_tp, Rs)
+    lr_ring = np.asarray(
+        ring_fullref_lastrow(
+            jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(seg),
+            mesh, n_micro=4,
+        )
+    )
+    # single-device oracle: one un-reset track
+    ref = track
+    reset = np.zeros(R, bool)
+    reset[0] = True
+    lr1 = np.asarray(
+        sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+                  jnp.asarray(reset), ckpt=128)
+    )
+    np.testing.assert_allclose(lr_ring, lr1, rtol=1e-5, atol=1e-4)
