@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# On-hardware checks that the CPU-pinned pytest suite cannot run:
+# Pallas wavefront kernel vs the scan engine + exact scalar oracle, and
+# the TPU e2e accuracy gates. Run on a machine with a real TPU.
+set -e
+python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+assert jax.default_backend() == "tpu", "needs a TPU"
+from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
+from sigfish_tpu.ops.sdtw_pallas import sdtw_wavefront, prepare_wavefront_inputs
+from sigfish_tpu.ops.sdtw_ref import subsequence_cost
+
+rng = np.random.default_rng(0)
+tracks = [rng.standard_normal(s).astype(np.float32) for s in (3000, 1733, 510)]
+ref, reset, offs = pad_tracks(tracks, ckpt=512, align=250)
+R = ref.shape[0]
+queries = [rng.standard_normal(250).astype(np.float32) for _ in range(64)]
+qb, qlens, onehot = make_query_batch(queries, pad_q=256)
+
+ypad, rspad, D = prepare_wavefront_inputs(ref, reset, 256, td=512)
+ds = np.asarray(sdtw_wavefront(jnp.asarray(qb), jnp.asarray(onehot),
+                               jnp.asarray(ypad), jnp.asarray(rspad), td=512))
+lr_wf = np.stack([ds[b, 249:249+R] for b in range(64)])
+lr_scan = np.asarray(sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot),
+                               jnp.asarray(ref), jnp.asarray(reset), ckpt=512))
+sel = np.abs(lr_scan) < 1e17
+err = np.abs(lr_wf - lr_scan)[sel].max()
+assert err < 1e-3, f"wavefront vs scan err {err}"
+print(f"pallas-vs-scan max err: {err:.2e}  OK")
+
+# exact scalar spot-check on one track
+ex = np.asarray(subsequence_cost(queries[0], tracks[0]))[-1]
+lo = int(offs[0])
+err2 = np.abs(lr_wf[0, lo:lo+3000] - ex).max()
+assert err2 < 1e-3, err2
+print(f"pallas-vs-exact max err: {err2:.2e}  OK")
+EOF
+
+# e2e gates on the TPU engine
+python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+    /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/tpu_dna.paf
+python -m sigfish_tpu.cli eval /root/reference/test/sp1_dna.minimap2.paf \
+    /tmp/tpu_dna.paf 2>/dev/null | grep -E "correct" | head -1
+python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+    /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 2>/dev/null > /tmp/tpu_rna.paf
+python -m sigfish_tpu.cli eval /root/reference/test/sequin_rna.minimap2.paf \
+    /tmp/tpu_rna.paf 2>/dev/null | grep -E "correct" | head -1
+echo "TPU checks done"
