@@ -64,6 +64,23 @@ run_case rna_q250_p100  "$RNA_TSV" $RNA_ARGS --rna -q 250 -p 100
 run_case rna_fe_fr      "$RNA_TSV" $RNA_ARGS --rna -q 500 --from-end --full-ref
 run_case dna_sam_q100   "$DNA_TSV" $DNA_ARGS --sam -q 100
 
+# clipped reads (too_short, qlen < query-size host-fallback path)
+python - <<'PYGEN'
+import numpy as np
+from sigfish_tpu.io.blow5 import Slow5File, Slow5Writer, Slow5Record
+src = Slow5File("/root/reference/test/sp1_dna.blow5")
+recs = list(src); hdr = src.header_data; src.close()
+with Slow5Writer("/tmp/parity_mixed.blow5", header_data=hdr) as w:
+    for r in recs:
+        w.write_record(r)
+        for cut in (2000, 1200, 800):
+            w.write_record(Slow5Record(read_id=f"{r.read_id}_cut{cut}",
+                read_group=r.read_group, digitisation=r.digitisation,
+                offset=r.offset, range=r.range, sampling_rate=r.sampling_rate,
+                raw_signal=r.raw_signal[:cut]))
+PYGEN
+run_case dna_clipped "$DNA_TSV" "$REF/nCoV-2019.reference.fasta" /tmp/parity_mixed.blow5
+
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
     > "$OUT/eval.oracle" 2>/dev/null

@@ -366,8 +366,10 @@ class Core:
         B = handle["B"]
         W = self.opt.query_size
         R = self.ref_cat.shape[0]
-        top_s = np.asarray(handle["top_s"])[:B]
-        top_p = np.asarray(handle["top_p"])[:B]
+        # np.array (copy): jax array views are read-only and the odd-read
+        # fallback below writes rows
+        top_s = np.array(handle["top_s"][:B])
+        top_p = np.array(handle["top_p"][:B])
         odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
         for b in odd:
             if handle["reindex"]:

@@ -102,3 +102,40 @@ def test_r10_and_rna004_smoke(tmp_path):
         rna=True, query_size=200, prefix_size=50, pore="rna004",
     )
     assert len([l for l in paf.splitlines() if l]) == 1
+
+
+def test_clipped_reads_fallback_path(tmp_path):
+    """Reads with fewer events than prefix+query take the too_short path
+    with qlen < W -- the host-fallback candidate extraction (this path
+    once shipped a read-only-array bug the full-length datasets never
+    hit)."""
+    import numpy as np
+
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+
+    src = Slow5File(f"{REF}/sp1_dna.blow5")
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = tmp_path / "mixed.blow5"
+    with Slow5Writer(str(p), header_data=hdr) as w:
+        for r in recs[:2]:
+            w.write_record(r)
+            w.write_record(
+                Slow5Record(
+                    read_id=f"{r.read_id}_cut", read_group=r.read_group,
+                    digitisation=r.digitisation, offset=r.offset,
+                    range=r.range, sampling_rate=r.sampling_rate,
+                    raw_signal=r.raw_signal[:1200],
+                )
+            )
+    # exercise the device engines' fallback too, not just native
+    for engine in ("native", "scan"):
+        opt = Options(engine=engine)
+        core = Core(f"{REF}/nCoV-2019.reference.fasta", str(p), opt)
+        out = io.StringIO()
+        run_dtw(core, out)
+        core.close()
+        lines = [l for l in out.getvalue().splitlines() if l]
+        assert len(lines) == 4, (engine, len(lines))
+        assert core.too_short == 2
