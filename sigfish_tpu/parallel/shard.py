@@ -185,22 +185,25 @@ def sharded_engine(
 def ring_fullref_lastrow(
     queries: jnp.ndarray,   # (B, Q) f32, replicated; B divisible by n_micro
     row_onehot: jnp.ndarray,  # (B, Q)
-    seg_ref: jnp.ndarray,   # (n_tp, Rs) contiguous column segments of ONE track
+    seg_ref: jnp.ndarray,   # (n_tp, Rs) contiguous COLUMN segments
+    seg_reset: jnp.ndarray,  # (n_tp, Rs) bool track-start resets (may be 0)
     mesh: Mesh,
     n_micro: int,
     ckpt: int = 512,
 ) -> jnp.ndarray:
-    """Reference-axis sharding for a single huge track (--full-ref on a
-    genome-scale contig, SURVEY §5 long-context): the DP column scan is
-    sequential in the reference axis, so segment s's carry feeds segment
-    s+1 -- a *pipeline* over the mesh's 'tp' ring. The read batch is cut
-    into n_micro microbatches; at schedule step t, device s scans
-    microbatch (t - s) over its column segment while its neighbor works
-    the previous microbatch, and the O(B/n_micro x Q) carry column hops
-    rings via ppermute. Bubble fraction = (n_tp-1)/(n_micro+n_tp-1).
+    """Reference-axis sharding by contiguous *columns* (not whole tracks):
+    the scan for a huge --full-ref contig (SURVEY §5 long-context). The
+    DP column scan is sequential in the reference axis, so segment s's
+    carry feeds segment s+1 -- a *pipeline* over the mesh's 'tp' ring.
+    The read batch is cut into n_micro microbatches; at schedule step t,
+    device s scans microbatch (t - s) over its column segment while its
+    neighbor works the previous microbatch, and the O(B/n_micro x Q)
+    carry column hops rings via ppermute. Bubble fraction =
+    (n_tp-1)/(n_micro+n_tp-1). Track-start reset masks are honored, so
+    any concatenated multi-track layout works; DP state flows across
+    segment boundaries otherwise.
 
-    Returns last_row (B, n_tp*Rs) replicated. No reset masks: DP state
-    flows across segment boundaries (that is the point).
+    Returns last_row (B, n_tp*Rs) replicated.
     """
     B, Q = queries.shape
     n_tp = seg_ref.shape[0]
@@ -208,19 +211,21 @@ def ring_fullref_lastrow(
     Bm = B // n_micro
     BIGv = jnp.float32(3.0e38)
 
-    def local(q, oh, seg):
+    def local(q, oh, seg, rst):
         s = jax.lax.axis_index("tp")
-        seg1 = seg[0]  # (Rs,)
+        seg1 = seg[0]   # (Rs,)
+        rst1 = rst[0]
         nsteps = n_micro + n_tp - 1
 
         def scan_segment(carry_col, qm, ohm):
-            # one microbatch over this device's columns (no resets)
-            def col_step(c, y):
+            def col_step(c, inp):
+                y, rs = inp
                 local_c = jnp.abs(qm - y)
+                c = jnp.where(rs, BIGv, c)
                 new = _col_update_noreset(c, local_c)
                 lr = jnp.sum(new * ohm, axis=1)
                 return new, lr
-            col, lr_cols = jax.lax.scan(col_step, carry_col, seg1)
+            col, lr_cols = jax.lax.scan(col_step, carry_col, (seg1, rst1))
             return col, lr_cols.T  # (Bm, Rs)
 
         def step(state, t):
@@ -254,10 +259,10 @@ def ring_fullref_lastrow(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P("tp", None)),
+        in_specs=(P(), P(), P("tp", None), P("tp", None)),
         out_specs=P(),
         check_vma=False,
-    )(queries, row_onehot, seg_ref)
+    )(queries, row_onehot, seg_ref, seg_reset)
 
 
 def _col_update_noreset(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:

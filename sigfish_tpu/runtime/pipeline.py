@@ -227,14 +227,45 @@ class Core:
         W = max(opt.query_size, 1)
 
         self.mesh = None
+        self.mesh_mode = None
         if opt.mesh:
             dp_s, tp_s = opt.mesh.lower().split("x")
             n_dp, n_tp = int(dp_s), int(tp_s)
-            if n_dp * n_tp > 1:
+            n_dev = n_dp * n_tp
+            if n_dev > 1 and len(tracks) < n_tp:
+                # too few tracks for whole-track partitioning (e.g. a
+                # single --full-ref contig): ring mode splits by COLUMNS
+                # and pipelines the DP carry around the tp ring
+                # (parallel/shard.ring_fullref_lastrow). All devices go
+                # on the tp axis.
+                import math as _math
+
+                from ..parallel import make_mesh
+
+                self.mesh = make_mesh(1, n_dev)
+                self.mesh_mode = "ring"
+                n_tp = n_dev
+                ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt, align=W)
+                unit = opt.ckpt * W // _math.gcd(opt.ckpt, W)
+                per = -(-ref_cat.shape[0] // n_tp)  # ceil division
+                Rs = ((per + unit - 1) // unit) * unit
+                R_ring = n_tp * Rs
+                pad_ref = np.full(R_ring, 1.0e18, dtype=np.float32)
+                pad_ref[: ref_cat.shape[0]] = ref_cat
+                pad_reset = np.zeros(R_ring, dtype=bool)
+                pad_reset[: reset.shape[0]] = reset
+                if ref_cat.shape[0] < R_ring:
+                    pad_reset[ref_cat.shape[0]] = True
+                ref_cat, reset = pad_ref, pad_reset
+                self.shard_Rs = Rs
+                self.ring_ref_dev = jnp.asarray(ref_cat.reshape(n_tp, Rs))
+                self.ring_reset_dev = jnp.asarray(reset.reshape(n_tp, Rs))
+            elif n_dev > 1:
                 from ..parallel import make_mesh, shard_tracks
                 from ..ops.sdtw_pallas import prepare_wavefront_inputs as _pwf
 
                 self.mesh = make_mesh(n_dp, n_tp)
+                self.mesh_mode = "tracks"
                 sref, sreset, soffs, assign = shard_tracks(
                     tracks, n_tp, ckpt=opt.ckpt, align=W
                 )
@@ -398,6 +429,26 @@ class Core:
         next batch's host stages with this batch's device time."""
         if self.engine == "native" and self.mesh is None:
             return self._native_candidates_submit(qb, qlens)
+        if self.mesh is not None and self.mesh_mode == "ring":
+            from ..parallel.shard import ring_fullref_lastrow
+
+            B = qb.shape[0]
+            n_micro = min(B, 32)
+            lr = ring_fullref_lastrow(
+                jnp.asarray(qb), jnp.asarray(onehot),
+                self.ring_ref_dev, self.ring_reset_dev,
+                self.mesh, n_micro=n_micro, ckpt=self.opt.ckpt,
+            )
+            qlens_dev2 = jnp.asarray(qlens.astype(np.int32))
+            R_ring = self.ref_cat.shape[0]
+            top_s, top_p = device_window_top5(
+                lr, qlens_dev2, self.valid_dev, R_ring,
+                W=self.opt.query_size, k=5, reindex=False,
+            )
+            return dict(
+                top_s=top_s, top_p=top_p, scores=lr, reindex=False,
+                qlens=qlens, qlens_dev=qlens_dev2, B=B,
+            )
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK

@@ -93,18 +93,41 @@ def test_ring_fullref_matches_single_device():
 
     mesh = Mesh(np.asarray(jax.devices()[:n_tp]).reshape(1, n_tp), ("dp", "tp"))
     seg = track.reshape(n_tp, Rs)
+    reset = np.zeros(R, bool)
+    reset[0] = True
+    reset[1000] = True  # a second track boundary mid-segment
     lr_ring = np.asarray(
         ring_fullref_lastrow(
             jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(seg),
-            mesh, n_micro=4,
+            jnp.asarray(reset.reshape(n_tp, Rs)), mesh, n_micro=4,
         )
     )
-    # single-device oracle: one un-reset track
+    # single-device oracle
     ref = track
-    reset = np.zeros(R, bool)
-    reset[0] = True
     lr1 = np.asarray(
         sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
                   jnp.asarray(reset), ckpt=128)
     )
     np.testing.assert_allclose(lr_ring, lr1, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_mode_pipeline_matches_single_device():
+    """Auto ring mode (tracks < n_tp) == single-device output, byte for
+    byte, through the full pipeline."""
+    import io
+    from sigfish_tpu.runtime.pipeline import Core, Options, run_dtw
+
+    REF = "/root/reference/test"
+
+    def run(mesh):
+        opt = Options(query_size=64, mesh=mesh, engine="scan")
+        core = Core(f"{REF}/nCoV-2019.reference.fasta", f"{REF}/sp1_dna.blow5", opt)
+        if mesh:
+            assert core.mesh_mode == "ring"  # 2 tracks < 4 tp
+        out = io.StringIO()
+        run_dtw(core, out)
+        core.close()
+        return out.getvalue()
+
+    assert run("1x4") == run(None)
