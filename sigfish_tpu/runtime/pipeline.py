@@ -284,7 +284,7 @@ class Core:
                 yps, rps = [], []
                 D = 0
                 for s in range(n_tp):
-                    yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=512)
+                    yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=128)
                     yps.append(yp[0])
                     rps.append(rp[0])
                     D = max(D, d)
@@ -345,7 +345,7 @@ class Core:
         the full last row; the production path is sdtw_candidates.)"""
         if self.use_pallas and not std:
             Q = qb.shape[1]
-            td = 512
+            td = 128
             if Q not in self._wf_cache:
                 self._wf_cache[Q] = prepare_wavefront_inputs(
                     self.ref_cat, self.reset, Q, td=td
@@ -479,7 +479,7 @@ class Core:
                 jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(qlens_pad),
                 self.shard_ref_dev, self.shard_reset_dev,
                 self.shard_ypad_dev, self.shard_rspad_dev,
-                self.mesh, Rs=self.shard_Rs, ckpt=self.opt.ckpt, td=512,
+                self.mesh, Rs=self.shard_Rs, ckpt=self.opt.ckpt, td=128,
                 use_pallas=self.use_pallas,
             )
             qlp_dev = jnp.asarray(qlens_pad)
@@ -492,7 +492,7 @@ class Core:
             )
         if self.use_pallas:
             Q = qb.shape[1]
-            td = 512
+            td = 128
             if Q not in self._wf_cache:
                 self._wf_cache[Q] = prepare_wavefront_inputs(
                     self.ref_cat, self.reset, Q, td=td
