@@ -81,6 +81,19 @@ with Slow5Writer("/tmp/parity_mixed.blow5", header_data=hdr) as w:
 PYGEN
 run_case dna_clipped "$DNA_TSV" "$REF/nCoV-2019.reference.fasta" /tmp/parity_mixed.blow5
 
+# multi-contig DNA (candidate order across contig fwd/rev tracks, with
+# an intentionally duplicated revcomp'd region for strand ambiguity)
+python - <<'PYGEN2'
+from sigfish_tpu.io.fasta import read_fasta
+name, seq = next(iter(read_fasta("/root/reference/test/nCoV-2019.reference.fasta")))
+h = len(seq)//2
+comp = {'A':'T','C':'G','G':'C','T':'A'}
+with open("/tmp/parity_split.fa", "w") as f:
+    f.write(f">half1\n{seq[:h+300]}\n>half2\n{seq[h-300:]}\n>halfrc\n")
+    f.write("".join(comp.get(c,'T') for c in reversed(seq[5000:12000])) + "\n")
+PYGEN2
+run_case dna_multicontig "$DNA_TSV" /tmp/parity_split.fa /tmp/parity_mixed.blow5
+
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
     > "$OUT/eval.oracle" 2>/dev/null
