@@ -196,8 +196,6 @@ class Core:
             if self.ref.reverse is not None:
                 tracks.append(self.ref.reverse[j])
                 self.track_meta.append((j, "-"))
-        # engine selection: Pallas wavefront kernel on TPU, lax.scan
-        # elsewhere (and for --dtw-std, which is tiny-track RNA-only)
         import jax
 
         # engine: Pallas wavefront on TPU; on CPU-only hosts the native
@@ -434,6 +432,8 @@ class Core:
 
             B = qb.shape[0]
             n_micro = min(B, 32)
+            while B % n_micro:
+                n_micro -= 1  # must divide the batch exactly
             lr = ring_fullref_lastrow(
                 jnp.asarray(qb), jnp.asarray(onehot),
                 self.ring_ref_dev, self.ring_reset_dev,
