@@ -94,6 +94,21 @@ with open("/tmp/parity_split.fa", "w") as f:
 PYGEN2
 run_case dna_multicontig "$DNA_TSV" /tmp/parity_split.fa /tmp/parity_mixed.blow5
 
+# two read groups (header attr tables + per-record group indices)
+python - <<'PYGEN3'
+from sigfish_tpu.io.blow5 import Slow5File, Slow5Writer, Slow5Record
+src = Slow5File("/root/reference/test/sp1_dna.blow5")
+recs = list(src); hdr = src.header_data; src.close()
+h2 = [dict(hdr[0]), dict(hdr[0])]
+h2[1]["asic_id"] = "999999"
+with Slow5Writer("/tmp/parity_2groups.blow5", header_data=h2) as w:
+    for i, r in enumerate(recs):
+        w.write_record(Slow5Record(read_id=r.read_id, read_group=i % 2,
+            digitisation=r.digitisation, offset=r.offset, range=r.range,
+            sampling_rate=r.sampling_rate, raw_signal=r.raw_signal))
+PYGEN3
+run_case dna_2groups "$DNA_TSV" "$REF/nCoV-2019.reference.fasta" /tmp/parity_2groups.blow5
+
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
     > "$OUT/eval.oracle" 2>/dev/null
