@@ -8,8 +8,9 @@ case at steady-state scale.
 
 Baseline: C sigfish (reference @ /root/reference, built with the same
 trained k-mer model via --kmer-model) on this host, `-t 8`:
-3000 reads / 124.3 s = 24.1 reads/s (measured 2026-08-16 on the bench
-host; single hardware core, so threads don't help the C build).
+3000 reads / 116.5 s = 25.8 reads/s (re-measured idle 2026-08-16; the
+bench host has a single hardware core, so threads don't help the C
+build).
 
 Prints one JSON line: reads/s through the full pipeline (BLOW5 decode ->
 events -> normalise -> batched sDTW on device + fused candidate top-5 ->
@@ -25,7 +26,7 @@ import time
 
 REF_FASTA = "/root/reference/test/nCoV-2019.reference.fasta"
 REF_BLOW5 = "/root/reference/test/sp1_dna.blow5"
-BASELINE_READS_PER_S = 24.1  # C sigfish -t 8, this host (see module docstring)
+BASELINE_READS_PER_S = 25.8  # C sigfish -t 8, this host (see module docstring)
 N_COPIES = 600  # 5 reads x 600 = 3000 reads
 
 
