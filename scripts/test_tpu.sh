@@ -17,9 +17,10 @@ R = ref.shape[0]
 queries = [rng.standard_normal(250).astype(np.float32) for _ in range(64)]
 qb, qlens, onehot = make_query_batch(queries, pad_q=256)
 
-ypad, rspad, D = prepare_wavefront_inputs(ref, reset, 256, td=512)
-ds = np.asarray(sdtw_wavefront(jnp.asarray(qb), jnp.asarray(onehot),
-                               jnp.asarray(ypad), jnp.asarray(rspad), td=512))
+ypad, rspad, D = prepare_wavefront_inputs(ref, reset, 256, td=128)
+ds = np.asarray(sdtw_wavefront(jnp.asarray(qb),
+                               jnp.asarray(ypad), jnp.asarray(rspad),
+                               lane=249, td=128))
 lr_wf = np.stack([ds[b, 249:249+R] for b in range(64)])
 lr_scan = np.asarray(sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot),
                                jnp.asarray(ref), jnp.asarray(reset), ckpt=512))

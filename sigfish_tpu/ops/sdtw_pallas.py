@@ -54,7 +54,6 @@ def _shift_down(x: jnp.ndarray, fill: jnp.ndarray, lane_idx: jnp.ndarray) -> jnp
 def _wavefront_kernel(
     # inputs
     queries_ref,  # (B, Q) VMEM
-    onehot_ref,   # (B, Q) VMEM, one-hot at qlen-1 per read
     ypad_ref,     # (1, TD) SMEM block: reference values for this tile
     rspad_ref,    # (1, TD) SMEM block: 1.0 at track starts
     # outputs
@@ -66,6 +65,7 @@ def _wavefront_kernel(
     rswin_ref,    # (1, Q)
     *,
     td: int,
+    lane: int,
     unroll: int = 4,
 ):
     g = pl.program_id(0)
@@ -79,7 +79,6 @@ def _wavefront_kernel(
         rswin_ref[:] = jnp.zeros((1, Q), dtype=jnp.float32)
 
     q = queries_ref[:]
-    onehot = onehot_ref[:]
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
@@ -103,8 +102,10 @@ def _wavefront_kernel(
         a_new = local + jnp.minimum(up, ld)
         a_new = jnp.where(lane_b == 0, local, a_new)  # free start row
 
-        # emit the per-read last-row element for this diagonal
-        lr = jnp.sum(a_new * onehot, axis=1, keepdims=True)  # (B, 1)
+        # emit the uniform last-row lane (qlen-1 == lane for every full-
+        # length read; clipped reads are recomputed exactly on the host):
+        # a static lane slice instead of a one-hot cross-lane reduction
+        lr = a_new[:, lane : lane + 1]  # (B, 1)
         acc = jnp.where(col_idx == t, lr, acc)
         return (a_new, a1, ywin, rswin, acc)
 
@@ -124,19 +125,20 @@ def _wavefront_kernel(
     out_ref[:] = carry[4]
 
 
-@functools.partial(jax.jit, static_argnames=("td", "unroll"))
+@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll"))
 def sdtw_wavefront(
     queries: jnp.ndarray,   # (B, Q) float32
-    row_onehot: jnp.ndarray,  # (B, Q) float32
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
     rspad: jnp.ndarray,     # (1, D) float32
+    lane: int,              # the uniform qlen-1 row to emit
     td: int = 128,
     unroll: int = 8,
 ) -> jnp.ndarray:
-    """Returns diag-indexed scores (B, D): out[b, d] = cost[qlen_b-1, d-qlen_b+1].
+    """Returns diag-indexed scores (B, D): out[b, d] = cost[lane, d-lane].
 
-    Use :func:`diag_to_last_row` (or a host-side slice) to convert to the
-    column-indexed last row.
+    The emitted row is the STATIC lane (qlen-1 of full-length reads);
+    clipped reads (qlen != lane+1) must be recomputed on the host.
+    `out[:, lane : lane+R]` is the column-indexed last row.
     """
     B, Q = queries.shape
     D = ypad.shape[1]
@@ -145,11 +147,10 @@ def sdtw_wavefront(
 
     assert td % unroll == 0
     return pl.pallas_call(
-        functools.partial(_wavefront_kernel, td=td, unroll=unroll),
+        functools.partial(_wavefront_kernel, td=td, lane=lane, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
@@ -162,9 +163,9 @@ def sdtw_wavefront(
             pltpu.VMEM((1, Q), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=16 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
+            flops=12 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
         ),
-    )(queries, row_onehot, ypad, rspad)
+    )(queries, ypad, rspad)
 
 
 def prepare_wavefront_inputs(

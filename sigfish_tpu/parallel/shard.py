@@ -138,7 +138,7 @@ def sharded_sdtw(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs")
+    jax.jit, static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs", "lane")
 )
 def sharded_engine(
     queries: jnp.ndarray,   # (B, Q) f32, B divisible by dp
@@ -150,21 +150,22 @@ def sharded_engine(
     rspad: jnp.ndarray,     # (n_tp, D)
     mesh: Mesh,
     Rs: int,
+    lane: int,
     ckpt: int = 512,
-    td: int = 512,
+    td: int = 128,
     use_pallas: bool = False,
 ):
     """Production multi-chip engine: per-shard sDTW (Pallas wavefront on
     TPU shards, lax.scan otherwise) + all_gather of the column-indexed
-    last rows over 'tp'. Returns (B, n_tp*Rs) sharded over 'dp'."""
+    last rows over 'tp'. The wavefront emits the uniform `lane` (qlen-1
+    of full-length reads); clipped reads are recomputed on the host.
+    Returns (B, n_tp*Rs) sharded over 'dp'."""
     from ..ops.sdtw_pallas import sdtw_wavefront
 
     def local(q, oh, ql, r, rs, yp, rp):
         if use_pallas:
-            ds = sdtw_wavefront(q, oh, yp, rp, td=td)
-            j = jnp.arange(Rs, dtype=jnp.int32)
-            idx = j[None, :] + (ql[:, None] - 1)
-            lr = jnp.take_along_axis(ds, idx, axis=1)
+            ds = sdtw_wavefront(q, yp, rp, lane=lane, td=td)
+            lr = jax.lax.slice_in_dim(ds, lane, lane + Rs, axis=1)
         else:
             lr = sdtw_scan(q, oh, r[0], rs[0], ckpt=ckpt)
         return jax.lax.all_gather(lr, "tp", axis=1, tiled=True)

@@ -48,18 +48,10 @@ from ..models.pore_model import (
 )
 from ..ops import jnn
 from ..ops.candidates import compute_mapq, rank_candidates, window_argmin
-from ..ops.candidates_dev import (
-    build_column_maps,
-    device_extract_last_row,
-    device_window_top5,
-)
+from ..ops.candidates_dev import build_column_maps, device_window_top5
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
-from ..ops.sdtw_pallas import (
-    diag_scores_to_last_row,
-    prepare_wavefront_inputs,
-    sdtw_wavefront,
-)
+from ..ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
 from ..ops.sdtw_ref import path_to_map, subsequence_cost_seeded, subsequence_path
 from ..output import paf_line, sam_line
 from ..utils import log_info, log_verbose, log_warning
@@ -338,27 +330,9 @@ class Core:
     def sdtw_run(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray, std: bool
     ) -> np.ndarray:
-        """Dispatch the batched sDTW to the selected engine; returns the
-        last-row scores (B, R) as numpy. (Debug/--dtw-std path: transfers
-        the full last row; the production path is sdtw_candidates.)"""
-        if self.use_pallas and not std:
-            Q = qb.shape[1]
-            td = 128
-            if Q not in self._wf_cache:
-                self._wf_cache[Q] = prepare_wavefront_inputs(
-                    self.ref_cat, self.reset, Q, td=td
-                )
-            ypad, rspad, D = self._wf_cache[Q]
-            ds = sdtw_wavefront(
-                jnp.asarray(qb),
-                jnp.asarray(onehot),
-                jnp.asarray(ypad),
-                jnp.asarray(rspad),
-                td=td,
-            )
-            return diag_scores_to_last_row(
-                np.asarray(ds), qlens, self.ref_cat.shape[0]
-            )
+        """Scan-engine last-row scores (B, R) as numpy -- the --dtw-std /
+        debug path (transfers the full last row; the production path is
+        sdtw_candidates)."""
         lr = sdtw_scan(
             jnp.asarray(qb),
             jnp.asarray(onehot),
@@ -391,27 +365,11 @@ class Core:
             )
         if handle.get("native"):
             return handle["top_s"], handle["top_p"]
-        qlens = handle["qlens"]
         B = handle["B"]
-        W = self.opt.query_size
-        R = self.ref_cat.shape[0]
-        # np.array (copy): jax array views are read-only and the odd-read
-        # fallback below writes rows
+        # np.array (copy): jax array views are read-only, and finish_batch
+        # overwrites clipped-read rows with the exact host recompute
         top_s = np.array(handle["top_s"][:B])
         top_p = np.array(handle["top_p"][:B])
-        odd = [b for b in range(len(qlens)) if 0 < qlens[b] != W]
-        for b in odd:
-            if handle["reindex"]:
-                lr_row = np.asarray(
-                    device_extract_last_row(
-                        handle["scores"], handle["qlens_dev"], b, R
-                    )
-                )
-            else:
-                lr_row = np.asarray(handle["scores"][b, :R])
-            s5, p5 = self._host_top5(lr_row, int(qlens[b]))
-            top_s[b] = s5
-            top_p[b] = p5
         return top_s, top_p
 
     # max device batch rows per kernel launch: B=512 x Q<=512 fits the
@@ -445,10 +403,7 @@ class Core:
                 lr, qlens_dev2, self.valid_dev, R_ring,
                 W=self.opt.query_size, k=5, reindex=False,
             )
-            return dict(
-                top_s=top_s, top_p=top_p, scores=lr, reindex=False,
-                qlens=qlens, qlens_dev=qlens_dev2, B=B,
-            )
+            return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=B)
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK
@@ -479,17 +434,14 @@ class Core:
                 jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(qlens_pad),
                 self.shard_ref_dev, self.shard_reset_dev,
                 self.shard_ypad_dev, self.shard_rspad_dev,
-                self.mesh, Rs=self.shard_Rs, ckpt=self.opt.ckpt, td=128,
-                use_pallas=self.use_pallas,
+                self.mesh, Rs=self.shard_Rs, lane=W - 1,
+                ckpt=self.opt.ckpt, td=128, use_pallas=self.use_pallas,
             )
             qlp_dev = jnp.asarray(qlens_pad)
             top_s, top_p = device_window_top5(
                 lr, qlp_dev, self.valid_dev, R, W=W, k=5, reindex=False,
             )
-            return dict(
-                top_s=top_s, top_p=top_p, scores=lr, reindex=False,
-                qlens=qlens, qlens_dev=qlp_dev, B=B,
-            )
+            return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=B)
         if self.use_pallas:
             Q = qb.shape[1]
             td = 128
@@ -500,9 +452,9 @@ class Core:
             ypad, rspad, D = self._wf_cache[Q]
             scores = sdtw_wavefront(
                 jnp.asarray(qb),
-                jnp.asarray(onehot),
                 jnp.asarray(ypad),
                 jnp.asarray(rspad),
+                lane=W - 1,
                 td=td,
             )
             reindex = True
@@ -519,10 +471,7 @@ class Core:
         top_s, top_p = device_window_top5(
             scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex
         )
-        return dict(
-            top_s=top_s, top_p=top_p, scores=scores, reindex=reindex,
-            qlens=qlens, qlens_dev=qlens_dev, B=qb.shape[0],
-        )
+        return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=qb.shape[0])
 
     def _native_candidates_submit(self, qb: np.ndarray, qlens: np.ndarray) -> dict:
         """CPU engine: per-read native two-row DP over every track (the
@@ -557,6 +506,24 @@ class Core:
             for slot in range(B):
                 one(slot)
         return dict(native=True, top_s=top_s, top_p=top_p, qlens=qlens, B=B)
+
+    def _clipped_top5(self, query: np.ndarray):
+        """Exact last row over every track for one clipped read (native
+        two-row DP; Python-oracle fallback), then the host window scan."""
+        from .. import native
+        from ..ops.sdtw_ref import subsequence_cost as _py_sub
+
+        R = self.ref_cat.shape[0]
+        lr = np.full(R, np.float32(3.0e38))
+        for t, track in enumerate(self.tracks):
+            lo = int(self.track_offsets[t])
+            if not track.size:
+                continue
+            row = native.subsequence_lastrow(query, track)
+            if row is None:
+                row = np.asarray(_py_sub(query, track))[-1]
+            lr[lo : lo + track.size] = row
+        return self._host_top5(lr, query.size)
 
     def _host_top5(self, lr_row: np.ndarray, qlen: int):
         """Window scan + update_aln top-5 for one read (exact reference
@@ -850,6 +817,17 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
 
     if not opt.dtw_std:
         top_s, top_p = core.sdtw_candidates_collect(pending.handle)
+        # clipped reads (qlen != W): the device engines emit the uniform
+        # qlen-1 lane only; recompute these reads' full last rows with
+        # the exact-scalar native DP (byte-identical to the reference)
+        W = opt.query_size
+        for slot, i in enumerate(live):
+            w = works[i]
+            qlen = w.query.size
+            if qlen > 0 and qlen != W:
+                s5, p5 = core._clipped_top5(w.query)
+                top_s[slot] = s5
+                top_p[slot] = p5
     else:
         last_row = pending.last_row
 
