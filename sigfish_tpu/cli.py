@@ -212,10 +212,23 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "--version" or cmd == "-V":
         print(f"sigfish-tpu {__version__}")
         return 0
-    if cmd == "dtw":
-        return dtw_main(rest)
-    if cmd == "eval":
-        return eval_cli(rest)
+    try:
+        if cmd == "dtw":
+            return dtw_main(rest)
+        if cmd == "eval":
+            return eval_cli(rest)
+    except (FileNotFoundError, IsADirectoryError) as e:
+        # reference style: a single ERROR line + EXIT_FAILURE
+        # (error.h F_CHK semantics) instead of a traceback
+        from .utils import log_error
+
+        log_error(f"{e.strerror}: {e.filename}")
+        return 1
+    except ValueError as e:
+        from .utils import log_error
+
+        log_error(str(e))
+        return 1
     sys.stderr.write(f"[main] Unknown command {cmd}\n")
     return 1
 
