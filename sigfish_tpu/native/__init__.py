@@ -24,7 +24,7 @@ _lib = None
 def _build() -> bool:
     try:
         cmd = [
-            "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
+            "g++", "-O3", "-march=native", "-ffp-contract=off", "-fno-math-errno", "-shared", "-fPIC",
             "-o", _SO, _SRC, "-lz",
         ]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

@@ -247,6 +247,39 @@ void sf_zscore(float* x, int64_t n) {
 
 // ------------------------------------------------------------- events
 
+// One sliding Welch t-stat pass: bit-exact with events.c:319-368 --
+// the reference's float/double mixing is reproduced operation by
+// operation (float divisions for the right window, float mean squares,
+// double left-window terms), because a 1-ulp t-stat difference at a
+// threshold flips an event boundary. Branchless + __restrict so the
+// loop auto-vectorizes (IEEE div/sqrt are exact per lane, so
+// vectorization preserves bit-exactness; note sums[i-w] is subtracted
+// unconditionally -- sums[0] == 0.0 makes the i == w case identical to
+// the reference's skipped subtraction).
+static void sf_tstat_loop(const double* __restrict sums,
+                          const double* __restrict sumsqs,
+                          int64_t nsample, int32_t w,
+                          float* __restrict tst) {
+    const float eta = FLT_MIN;
+    const float w_lengthf = (float)w;
+    for (int64_t i = w; i <= nsample - w; i++) {
+        double sum1 = sums[i] - sums[i - w];
+        double sumsq1 = sumsqs[i] - sumsqs[i - w];
+        float sum2 = (float)(sums[i + w] - sums[i]);
+        float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+        float mean1 = (float)(sum1 / w_lengthf);
+        float mean2 = sum2 / w_lengthf;
+        float combined_var = (float)(sumsq1 / w_lengthf -
+                                     mean1 * mean1 +
+                                     sumsq2 / w_lengthf -
+                                     mean2 * mean2);
+        combined_var = fmaxf(combined_var, eta);
+        const float delta_mean = mean2 - mean1;
+        tst[i] = (float)(fabs(delta_mean) /
+                         sqrt(combined_var / w_lengthf));
+    }
+}
+
 // t-test event segmentation, one call per read. Exact port of
 // ops/events.py (itself validated against src/events.c semantics).
 // Outputs sized <= nsample+1; returns the event count.
@@ -273,38 +306,11 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         sumsqs[i + 1] = sumsqs[i] + v * v;
     }
 
-    // two sliding Welch t-stats: bit-exact port of events.c:319-368 --
-    // the reference's float/double mixing is reproduced operation by
-    // operation (float divisions for the right window, float mean
-    // squares, double left-window terms), because a 1-ulp t-stat
-    // difference at a threshold flips an event boundary
-    const float eta = FLT_MIN;
+    // two sliding Welch t-stats: bit-exact port of events.c:319-368
     const int32_t ws[2] = {w1, w2};
     for (int p = 0; p < 2; p++) {
-        int32_t w = ws[p];
-        float* tst = tstat[p];
-        if (nsample < 2 * (int64_t)w || w < 2) continue;
-        const float w_lengthf = (float)w;
-        for (int64_t i = w; i <= nsample - w; i++) {
-            double sum1 = sums[i];
-            double sumsq1 = sumsqs[i];
-            if (i > w) {
-                sum1 -= sums[i - w];
-                sumsq1 -= sumsqs[i - w];
-            }
-            float sum2 = (float)(sums[i + w] - sums[i]);
-            float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
-            float mean1 = (float)(sum1 / w_lengthf);
-            float mean2 = sum2 / w_lengthf;
-            float combined_var = (float)(sumsq1 / w_lengthf -
-                                         mean1 * mean1 +
-                                         sumsq2 / w_lengthf -
-                                         mean2 * mean2);
-            combined_var = fmaxf(combined_var, eta);
-            const float delta_mean = mean2 - mean1;
-            tst[i] = (float)(fabs(delta_mean) /
-                             sqrt(combined_var / w_lengthf));
-        }
+        if (nsample >= 2 * (int64_t)ws[p] && ws[p] >= 2)
+            sf_tstat_loop(sums, sumsqs, nsample, ws[p], tstat[p]);
     }
 
     // coupled short/long peak detector state machine
