@@ -378,13 +378,16 @@ class Core:
     DEVICE_CHUNK = 512
 
     def sdtw_candidates_submit(
-        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
+        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray,
+        n_live: int | None = None,
     ) -> dict:
         """Dispatch the device computation asynchronously; returns a
         handle for sdtw_candidates_collect. Lets the caller overlap the
-        next batch's host stages with this batch's device time."""
+        next batch's host stages with this batch's device time. n_live =
+        number of leading real rows (the rest are bucket padding; the
+        native engine skips them, device engines get them for free)."""
         if self.engine == "native" and self.mesh is None:
-            return self._native_candidates_submit(qb, qlens)
+            return self._native_candidates_submit(qb, qlens, n_live)
         if self.mesh is not None and self.mesh_mode == "ring":
             from ..parallel.shard import ring_fullref_lastrow
 
@@ -473,13 +476,16 @@ class Core:
         )
         return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=qb.shape[0])
 
-    def _native_candidates_submit(self, qb: np.ndarray, qlens: np.ndarray) -> dict:
+    def _native_candidates_submit(
+        self, qb: np.ndarray, qlens: np.ndarray, n_live: int | None = None
+    ) -> dict:
         """CPU engine: per-read native two-row DP over every track (the
         reference's execution model, threaded -- native calls release
         the GIL) + the host window scan. Bit-exact scalar order."""
         from .. import native
 
         B = qb.shape[0]
+        n = B if n_live is None else min(n_live, B)
         R = self.ref_cat.shape[0]
         top_s = np.full((B, 5), np.float32(3.0e38))
         top_p = np.full((B, 5), -1, dtype=np.int64)
@@ -500,10 +506,10 @@ class Core:
             top_s[slot] = s5
             top_p[slot] = p5
 
-        if self._pool is not None and B > 1:
-            list(self._pool.map(one, range(B)))
+        if self._pool is not None and n > 1:
+            list(self._pool.map(one, range(n)))
         else:
-            for slot in range(B):
+            for slot in range(n):
                 one(slot)
         return dict(native=True, top_s=top_s, top_p=top_p, qlens=qlens, B=B)
 
@@ -793,7 +799,7 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
 
     if not opt.dtw_std:
         # fused device path: only (B, 5) candidates cross the host link
-        pending.handle = core.sdtw_candidates_submit(qb, qlens, onehot)
+        pending.handle = core.sdtw_candidates_submit(qb, qlens, onehot, n_live=nb)
     else:
         pending.last_row = core.sdtw_run(qb, qlens, onehot, True)
     return pending
