@@ -62,23 +62,6 @@ def window_argmin(scores: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarra
     return mins.astype(np.float32), arg + np.arange(nwin, dtype=np.int64) * width
 
 
-def window_argmin_batch(scores: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
-    """Batched version over (B, n) scores, same semantics per row."""
-    B, n = scores.shape
-    nwin = (n + width - 1) // width
-    pad = nwin * width - n
-    if pad:
-        padded = np.concatenate(
-            [scores, np.full((B, pad), np.inf, dtype=scores.dtype)], axis=1
-        )
-    else:
-        padded = scores
-    w = padded.reshape(B, nwin, width)
-    arg = w.argmin(axis=2)
-    mins = np.take_along_axis(w, arg[:, :, None], axis=2)[:, :, 0]
-    return mins.astype(np.float32), arg + np.arange(nwin, dtype=np.int64)[None, :] * width
-
-
 def rank_candidates(
     cand_scores: np.ndarray, cand_pos: np.ndarray
 ) -> tuple[int, float, float]:

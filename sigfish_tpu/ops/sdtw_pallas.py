@@ -14,17 +14,18 @@ so one step is a handful of shifted mins -- no scan at all:
 
 The skewed layout keeps every step a full (B, Q) vector op: lanes hold
 query positions, the reference value window y[d-i] is maintained by a
-roll-and-insert (one scalar VMEM load per step, no dynamic lane slicing),
-and track-reset masks ride along the same way. Each step emits one
-last-row element per read, A_d[qlen_b - 1], accumulated into a (B, TD)
-tile via a lane-mask select; the host maps step index d to reference
-column j = d - qlen_b + 1 per read (qlen varies for short reads, ref
-src/sigfish.c:457-461).
+roll-and-insert (one SMEM scalar per step, no dynamic lane slicing),
+and track-reset masks ride along the same way. Each step emits the
+uniform last-row lane A_d[W-1] as a static slice (W = query size;
+clipped reads with qlen != W are recomputed exactly on the host,
+finish_batch), accumulated into a (B, TD) tile; ds[:, W-1 : W-1+R] is
+the column-indexed last row.
 
-Per step: ~16 VPU ops on (B, Q) f32 -- ~2x fewer than the column scan and
-with no serial scan chains. min-plus DP has no MXU path; the VPU is the
-roofline, so everything stays float32 resident in VMEM with zero HBM
-traffic inside a tile.
+Per step: ~12 VPU ops on (B, Q) f32, no serial scan chains, x8 loop
+unroll (the per-iteration dispatch overhead would otherwise dominate).
+min-plus DP has no MXU path; the VPU is the roofline, so everything
+stays float32 resident in VMEM with zero HBM traffic inside a tile.
+Measured 150 Gcell/s at (B=512, Q=256, nCoV reference) on one v5e.
 
 Grid: sequential tiles of TD diagonals; DP carry diagonals live in VMEM
 scratch across grid steps. ref: semantics of src/cdtw.c:172-189 (see
@@ -110,8 +111,8 @@ def _wavefront_kernel(
         return (a_new, a1, ywin, rswin, acc)
 
     # unrolled loop: the per-iteration dispatch overhead dominates the
-    # ~12 small vector ops of one diagonal; td=128/unroll=8 measured
-    # 130 Gcell/s at (B=512, Q=256) on v5e (~8x over unrolled=1)
+    # ~12 small vector ops of one diagonal (td=128/unroll=8 is ~8x over
+    # unroll=1)
     def step(i, carry):
         t = i * unroll
         for u in range(unroll):
@@ -184,15 +185,3 @@ def prepare_wavefront_inputs(
     if R < D:
         rspad[0, R] = 1.0  # isolate the tail padding
     return ypad, rspad, D
-
-
-def diag_scores_to_last_row(
-    diag_scores: np.ndarray, qlens: np.ndarray, R: int
-) -> np.ndarray:
-    """Host-side conversion: out[b, d] -> last_row[b, j] with j = d-qlen_b+1."""
-    B, D = diag_scores.shape
-    lr = np.empty((B, R), dtype=np.float32)
-    for b in range(B):
-        o = int(qlens[b]) - 1
-        lr[b] = diag_scores[b, o : o + R]
-    return lr
