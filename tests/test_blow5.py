@@ -103,3 +103,25 @@ def test_binary_blow5_roundtrip(tmp_path):
     for a, b in zip(recs, recs2):
         assert a.read_id == b.read_id
         np.testing.assert_array_equal(a.raw_signal, b.raw_signal)
+
+
+def test_zstd_record_roundtrip(tmp_path):
+    zstd = pytest.importorskip("zstandard")
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    src = Slow5File(DNA)
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = tmp_path / "z.blow5"
+    with Slow5Writer(str(p), header_data=hdr, rec_press="zstd") as w:
+        for r in recs:
+            w.write_record(r)
+    rb = Slow5File(str(p))
+    assert rb.rec_press == "zstd"
+    recs2 = list(rb)
+    rb.close()
+    assert len(recs2) == len(recs)
+    for a, b in zip(recs, recs2):
+        assert a.read_id == b.read_id
+        np.testing.assert_array_equal(a.raw_signal, b.raw_signal)
