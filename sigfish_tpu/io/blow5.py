@@ -176,8 +176,7 @@ def _decompress_record(blob: bytes, method: str) -> bytes:
             return zstandard.ZstdDecompressor().decompress(blob)
         except ImportError as e:
             raise RuntimeError(
-                "zstd-compressed BLOW5 needs the zstandard module, which is "
-                "not available in this environment"
+                "zstd-compressed BLOW5 needs the zstandard module"
             ) from e
     raise ValueError(f"unknown record compression {method!r}")
 
