@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(3.0e38)
+# np scalar, NOT jnp: a module-level jnp.float32 is a device-resident
+# array that every jit lowering embeds as an MLIR constant via a
+# device->host fetch (fragile over remote-device transports, and it
+# forces backend init at import).
+BIG = np.float32(3.0e38)
 
 
 def build_column_maps(

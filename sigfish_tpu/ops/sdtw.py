@@ -45,7 +45,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(3.0e38)  # carry reset value; avoids inf-inf NaNs
+# carry reset value; avoids inf-inf NaNs. np scalar, NOT jnp: a
+# module-level jnp.float32 is a device array that every lowering embeds
+# as an MLIR constant via a device->host fetch (fragile over remote-
+# device transports) and forces backend init at import.
+BIG = np.float32(3.0e38)
 
 
 def _column_update(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:

@@ -210,7 +210,7 @@ def ring_fullref_lastrow(
     n_tp = seg_ref.shape[0]
     Rs = seg_ref.shape[1]
     Bm = B // n_micro
-    BIGv = jnp.float32(3.0e38)
+    BIGv = np.float32(3.0e38)  # np, not jnp: avoids a trace-time device const
 
     def local(q, oh, seg, rst):
         s = jax.lax.axis_index("tp")
@@ -270,7 +270,7 @@ def _col_update_noreset(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
     """Single DP column update (prefix-min identity), no track resets."""
     s = jnp.cumsum(local, axis=1, dtype=jnp.float32)
     c_up = jnp.concatenate(
-        [jnp.full_like(c[:, :1], jnp.float32(3.0e38)), c[:, :-1]], axis=1
+        [jnp.full_like(c[:, :1], np.float32(3.0e38)), c[:, :-1]], axis=1
     )
     m = jnp.minimum(c, c_up)
     t = jnp.concatenate([jnp.zeros_like(s[:, :1]), m[:, 1:] - s[:, :-1]], axis=1)
