@@ -434,6 +434,58 @@ class Slow5File:
     def decode_batch(self, blobs: list[bytes]) -> list[Slow5Record]:
         return [self.decode_record(b) for b in blobs]
 
+    # ------------------------------------------------- random access
+
+    def index_load(self) -> "Slow5Index":  # noqa: F821
+        """Load `<path>.idx` if present, else build it and write the
+        sidecar (ref slow5_idx_load, slow5.c:4100-4126). Cached."""
+        import os as _os
+
+        from .blow5_idx import Slow5Index, index_path
+
+        idx = getattr(self, "_index", None)
+        if idx is not None:
+            return idx
+        ip = index_path(self.path)
+        if _os.path.exists(ip):
+            idx = Slow5Index.load(ip)
+        else:
+            idx = Slow5Index.build(self)
+            try:
+                idx.write(ip)
+            except OSError:
+                pass  # read-only location: keep the in-memory index
+        self._index = idx
+        return idx
+
+    def index_to(self, pathname: str) -> None:
+        """Build and write the index to an explicit path
+        (ref slow5_idx_to, slow5_idx.c:153-181)."""
+        from .blow5_idx import Slow5Index
+
+        Slow5Index.build(self).write(pathname)
+
+    def get(self, read_id: str) -> Optional[Slow5Record]:
+        """Random access by read_id via the index (ref slow5_get).
+
+        Returns None when the read_id is not in the file. Preserves the
+        sequential streaming position.
+        """
+        ent = self.index_load().get(read_id)
+        if ent is None:
+            return None
+        offset, size = ent
+        saved = self._fp.tell()
+        try:
+            self._fp.seek(offset)
+            if self.format == "ascii":
+                blob = self._fp.read(size).rstrip(b"\n")
+            else:
+                blob = self._fp.read(size)[8:]  # strip the u64 size prefix
+        finally:
+            self._fp.seek(saved)
+        return self.decode_record(blob)
+
     def __iter__(self) -> Iterator[Slow5Record]:
         while True:
             blob = self.read_next_blob()

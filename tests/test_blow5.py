@@ -125,3 +125,102 @@ def test_zstd_record_roundtrip(tmp_path):
     for a, b in zip(recs, recs2):
         assert a.read_id == b.read_id
         np.testing.assert_array_equal(a.raw_signal, b.raw_signal)
+
+
+# ------------------------------------------------------------------ index
+# ref: slow5_idx.c (build :183, write :356, read :407), format
+# slow5_idx.h:20-24. The mapper never uses the index (SURVEY §2.2) --
+# these cover the random-access API surface (slow5_get / slow5_idx_load).
+
+
+def test_index_build_write_load_roundtrip(tmp_path):
+    from sigfish_tpu.io.blow5_idx import INDEX_EOF, INDEX_MAGIC, Slow5Index
+
+    sf = Slow5File(DNA)
+    idx = Slow5Index.build(sf)
+    recs = list(sf)  # build must not disturb the stream position
+    assert len(recs) == 5
+    assert len(idx) == 5
+    p = tmp_path / "t.idx"
+    idx.write(str(p))
+    raw = p.read_bytes()
+    assert raw[: len(INDEX_MAGIC)] == INDEX_MAGIC
+    assert raw[9:12] == bytes(sf.version)
+    assert raw.endswith(INDEX_EOF)
+    idx2 = Slow5Index.load(str(p))
+    assert idx2.ids() == idx.ids()
+    for rid in idx.ids():
+        assert idx2.get(rid) == idx.get(rid)
+    sf.close()
+
+
+def test_index_random_access_binary(tmp_path):
+    import shutil
+
+    # copy: index_load writes the .idx sidecar next to the file
+    p = tmp_path / "dna.blow5"
+    shutil.copy(DNA, p)
+    sf = Slow5File(str(p))
+    seq = {r.read_id: r for r in sf}
+    for rid, want in seq.items():
+        got = sf.get(rid)
+        assert got is not None
+        assert got.read_id == rid
+        assert got.read_group == want.read_group
+        np.testing.assert_array_equal(got.raw_signal, want.raw_signal)
+    assert sf.get("no-such-read") is None
+    assert (tmp_path / "dna.blow5.idx").exists()
+    sf.close()
+    # a second open must load the sidecar, not rebuild
+    sf2 = Slow5File(str(p))
+    idx = sf2.index_load()
+    assert len(idx) == len(seq)
+    r0 = next(iter(seq))
+    np.testing.assert_array_equal(sf2.get(r0).raw_signal, seq[r0].raw_signal)
+    sf2.close()
+
+
+def test_index_random_access_ascii(tmp_path):
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    src = Slow5File(RNA)
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = tmp_path / "t.slow5"
+    with Slow5Writer(str(p), header_data=hdr) as w:
+        for r in recs:
+            w.write_record(r)
+    sf = Slow5File(str(p))
+    mid = recs[len(recs) // 2]
+    got = sf.get(mid.read_id)
+    np.testing.assert_array_equal(got.raw_signal, mid.raw_signal)
+    # interleave random access with sequential streaming
+    first = sf.decode_record(sf.read_next_blob())
+    assert first.read_id == recs[0].read_id
+    got2 = sf.get(recs[-1].read_id)
+    np.testing.assert_array_equal(got2.raw_signal, recs[-1].raw_signal)
+    second = sf.decode_record(sf.read_next_blob())
+    assert second.read_id == recs[1].read_id
+    sf.close()
+
+
+def test_index_to_explicit_path(tmp_path):
+    from sigfish_tpu.io.blow5_idx import Slow5Index
+
+    sf = Slow5File(RNA)
+    p = tmp_path / "explicit.idx"
+    sf.index_to(str(p))
+    idx = Slow5Index.load(str(p))
+    assert len(idx) == 8
+    # offsets must point at real records: fetch one by hand
+    rid = idx.ids()[3]
+    off, size = idx.get(rid)
+    import struct as _struct
+
+    sf._fp.seek(off)
+    (sz,) = _struct.unpack("<Q", sf._fp.read(8))
+    assert sz == size - 8
+    rec = sf.decode_record(sf._fp.read(sz))
+    assert rec.read_id == rid
+    sf.close()
