@@ -117,7 +117,7 @@ def device_topk_candidates(
     return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
 
 
-@partial(jax.jit, static_argnames=("R", "W", "k", "reindex"))
+@partial(jax.jit, static_argnames=("R", "W", "k", "reindex", "pack"))
 def device_window_top5(
     scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, >=R) last row
     qlens: jnp.ndarray,    # (B,) i32 (only used for the diag reindex)
@@ -126,6 +126,7 @@ def device_window_top5(
     W: int,
     k: int = 5,
     reindex: bool = True,
+    pack: bool = False,
 ):
     """Uniform-window-width candidate extraction (the production path).
 
@@ -138,7 +139,11 @@ def device_window_top5(
     compile time grows with R).
 
     Returns (top_scores (B, k) best-first, top_pos (B, k) i32 global
-    columns; empty slots score >= BIG, pos -1).
+    columns; empty slots score >= BIG, pos -1). With pack=True the two
+    are fused into one (B, 2k) f32 array (positions bitcast, exact for
+    any i32) so the host fetches ONE buffer -- device->host round-trip
+    latency dominates the per-batch cost on remote-device transports.
+    Unpack with :func:`unpack_top5`.
     """
     B = scores.shape[0]
     if reindex:
@@ -172,7 +177,21 @@ def device_window_top5(
         top_s.append(sc)
         top_p.append(am)
         wm = wm.at[rows, pick].set(BIG)
-    return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
+    ts = jnp.stack(top_s, axis=1)
+    tp = jnp.stack(top_p, axis=1)
+    if pack:
+        return jnp.concatenate(
+            [ts, jax.lax.bitcast_convert_type(tp, jnp.float32)], axis=1
+        )
+    return ts, tp
+
+
+def unpack_top5(packed: np.ndarray, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of device_window_top5(pack=True): (B, 2k) f32 ->
+    (top_scores (B, k) f32, top_pos (B, k) i32). Returns writable copies."""
+    ts = np.ascontiguousarray(packed[:, :k], dtype=np.float32)
+    tp = np.ascontiguousarray(packed[:, k:], dtype=np.float32).view(np.int32)
+    return ts, tp
 
 
 @partial(jax.jit, static_argnames=("R",))

@@ -48,7 +48,7 @@ from ..models.pore_model import (
 )
 from ..ops import jnn
 from ..ops.candidates import compute_mapq, rank_candidates, window_argmin
-from ..ops.candidates_dev import build_column_maps, device_window_top5
+from ..ops.candidates_dev import build_column_maps, device_window_top5, unpack_top5
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
 from ..ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
@@ -366,11 +366,11 @@ class Core:
         if handle.get("native"):
             return handle["top_s"], handle["top_p"]
         B = handle["B"]
-        # np.array (copy): jax array views are read-only, and finish_batch
-        # overwrites clipped-read rows with the exact host recompute
-        top_s = np.array(handle["top_s"][:B])
-        top_p = np.array(handle["top_p"][:B])
-        return top_s, top_p
+        # one packed (B, 2k) f32 fetch: device->host round-trip latency
+        # dominates per-batch cost, so scores+positions ride one buffer.
+        # unpack_top5 returns writable copies (finish_batch overwrites
+        # clipped-read rows with the exact host recompute)
+        return unpack_top5(np.asarray(handle["packed"][:B]))
 
     # max device batch rows per kernel launch: B=512 x Q<=512 fits the
     # 16 MB scoped-VMEM budget of the wavefront kernel; larger -K loads
@@ -402,11 +402,11 @@ class Core:
             )
             qlens_dev2 = jnp.asarray(qlens.astype(np.int32))
             R_ring = self.ref_cat.shape[0]
-            top_s, top_p = device_window_top5(
+            packed = device_window_top5(
                 lr, qlens_dev2, self.valid_dev, R_ring,
-                W=self.opt.query_size, k=5, reindex=False,
+                W=self.opt.query_size, k=5, reindex=False, pack=True,
             )
-            return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=B)
+            return dict(packed=packed, qlens=qlens, B=B)
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK
@@ -441,10 +441,11 @@ class Core:
                 ckpt=self.opt.ckpt, td=128, use_pallas=self.use_pallas,
             )
             qlp_dev = jnp.asarray(qlens_pad)
-            top_s, top_p = device_window_top5(
+            packed = device_window_top5(
                 lr, qlp_dev, self.valid_dev, R, W=W, k=5, reindex=False,
+                pack=True,
             )
-            return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=B)
+            return dict(packed=packed, qlens=qlens, B=B)
         if self.use_pallas:
             Q = qb.shape[1]
             td = 128
@@ -471,10 +472,11 @@ class Core:
                 std=False,
             )
             reindex = False
-        top_s, top_p = device_window_top5(
-            scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex
+        packed = device_window_top5(
+            scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex,
+            pack=True,
         )
-        return dict(top_s=top_s, top_p=top_p, qlens=qlens, B=qb.shape[0])
+        return dict(packed=packed, qlens=qlens, B=qb.shape[0])
 
     def _native_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, n_live: int | None = None
@@ -614,12 +616,12 @@ def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
     rec = w.rec
     et_start = w.event_start
     n = w.n_events
-    pa = rec.to_pa()
     if not opt.from_end:
         start_idx = opt.prefix_size
         if opt.prefix_size < 0:
+            # pA samples are only needed by the polyA autodetect
             start_idx = jnn.detect_query_start(
-                rec.raw_signal, pa, et_start, pore=opt.pore_flag
+                rec.raw_signal, rec.to_pa(), et_start, pore=opt.pore_flag
             )
             if start_idx < 0:
                 w.flag_prefix_fail = True
@@ -742,6 +744,18 @@ class PendingBatch:
     dtw_t0: float = 0.0
 
 
+def _pool_map(pool, fn, items, chunk: int = 32):
+    """Order-preserving parallel map in chunks: one future per ~chunk
+    items instead of one per item (futures overhead is pure Python and
+    measurable at 512 reads/batch x 3 stages)."""
+    items = list(items)
+    if pool is None or len(items) <= chunk:
+        return [fn(x) for x in items]
+    slices = [items[i : i + chunk] for i in range(0, len(items), chunk)]
+    out = pool.map(lambda sl: [fn(x) for x in sl], slices)
+    return [y for ch in out for y in ch]
+
+
 def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
     """Host stages + async device dispatch for one batch of raw records."""
     opt = core.opt
@@ -753,9 +767,7 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
     import time as _time
 
     def _map(fn, items):
-        if core._pool is not None:
-            return list(core._pool.map(fn, items))
-        return [fn(x) for x in items]
+        return _pool_map(core._pool, fn, items)
 
     if opt.profile:
         t0 = _time.time()
@@ -880,12 +892,9 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
 
     # pass 2: winner backtracks (native calls release the GIL -> the
     # thread pool parallelizes them on multi-core hosts)
-    if core._pool is not None and len(winners) > 1:
-        paths = list(
-            core._pool.map(lambda a: _backtrack_best(core, a[1], a[2], a[3]), winners)
-        )
-    else:
-        paths = [_backtrack_best(core, a[1], a[2], a[3]) for a in winners]
+    paths = _pool_map(
+        core._pool, lambda a: _backtrack_best(core, a[1], a[2], a[3]), winners
+    )
 
     # pass 3: coordinates + formatting
     for (slot, w, t, pos_end_local, d1, d2, rid, strand), (
