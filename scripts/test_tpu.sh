@@ -37,6 +37,32 @@ assert err2 < 1e-3, err2
 print(f"pallas-vs-exact max err: {err2:.2e}  OK")
 EOF
 
+# carry-kernel variant (ring-mode building block): chained segments must
+# be bit-identical to one pass (Mosaic compile + exactness on hardware)
+python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from sigfish_tpu.ops.sdtw_pallas import (
+    BIG, PAD, prepare_wavefront_inputs, sdtw_wavefront, sdtw_wavefront_carry)
+rng = np.random.default_rng(1)
+B, Q, td, lane = 64, 256, 128, 249
+ref = rng.standard_normal(4000).astype(np.float32)
+reset = np.zeros(4000, bool); reset[0] = True; reset[2100] = True
+ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
+q = rng.standard_normal((B, Q)).astype(np.float32)
+full = np.asarray(sdtw_wavefront(q, jnp.asarray(ypad), jnp.asarray(rspad), lane=lane, td=td))
+a1 = jnp.full((B, Q), BIG, jnp.float32); a2 = jnp.full((B, Q), BIG, jnp.float32)
+yw = jnp.full((1, Q), PAD, jnp.float32); rw = jnp.zeros((1, Q), jnp.float32)
+outs = []
+half = (D // td // 2) * td
+for a, b in ((0, half), (half, D)):
+    o, a1, a2, yw, rw = sdtw_wavefront_carry(
+        q, jnp.asarray(ypad[:, a:b]), jnp.asarray(rspad[:, a:b]),
+        a1, a2, yw, rw, lane=lane, td=td)
+    outs.append(np.asarray(o))
+assert np.array_equal(np.concatenate(outs, axis=1), full)
+print("carry kernel: chained segments bit-exact  OK")
+EOF
+
 # e2e gates on the TPU engine
 python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
     /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/tpu_dna.paf

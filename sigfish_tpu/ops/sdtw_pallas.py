@@ -52,33 +52,12 @@ def _shift_down(x: jnp.ndarray, fill: jnp.ndarray, lane_idx: jnp.ndarray) -> jnp
     return jnp.where(lane_idx == 0, fill, rolled)
 
 
-def _wavefront_kernel(
-    # inputs
-    queries_ref,  # (B, Q) VMEM
-    ypad_ref,     # (1, TD) SMEM block: reference values for this tile
-    rspad_ref,    # (1, TD) SMEM block: 1.0 at track starts
-    # outputs
-    out_ref,      # (B, TD) VMEM block for this tile
-    # scratch
-    a1_ref,       # (B, Q) A_{d-1}
-    a2_ref,       # (B, Q) A_{d-2}
-    ywin_ref,     # (1, Q) ywin[i] = y[d-i]
-    rswin_ref,    # (1, Q)
-    *,
-    td: int,
-    lane: int,
-    unroll: int = 4,
+def _wavefront_tile(
+    queries_ref, ypad_ref, rspad_ref, state, *, td: int, lane: int, unroll: int
 ):
-    g = pl.program_id(0)
+    """One TD-diagonal tile: advances (a1, a2, ywin, rswin) and returns
+    the new state plus the (B, td) emitted last-row-lane tile."""
     B, Q = queries_ref.shape
-
-    @pl.when(g == 0)
-    def _init():
-        a1_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
-        a2_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
-        ywin_ref[:] = jnp.full((1, Q), PAD, dtype=jnp.float32)
-        rswin_ref[:] = jnp.zeros((1, Q), dtype=jnp.float32)
-
     q = queries_ref[:]
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
@@ -120,13 +99,89 @@ def _wavefront_kernel(
         return carry
 
     acc0 = jnp.full((B, td), PAD, dtype=jnp.float32)
-    carry = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:], acc0)
-    carry = jax.lax.fori_loop(0, td // unroll, step, carry)
-    a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = carry[:4]
-    out_ref[:] = carry[4]
+    a1, a2, ywin, rswin = state
+    carry = jax.lax.fori_loop(0, td // unroll, step, (a1, a2, ywin, rswin, acc0))
+    return carry[:4], carry[4]
 
 
-@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll"))
+def _wavefront_kernel(
+    # inputs
+    queries_ref,  # (B, Q) VMEM
+    ypad_ref,     # (1, TD) SMEM block: reference values for this tile
+    rspad_ref,    # (1, TD) SMEM block: 1.0 at track starts
+    # outputs
+    out_ref,      # (B, TD) VMEM block for this tile
+    # scratch
+    a1_ref,       # (B, Q) A_{d-1}
+    a2_ref,       # (B, Q) A_{d-2}
+    ywin_ref,     # (1, Q) ywin[i] = y[d-i]
+    rswin_ref,    # (1, Q)
+    *,
+    td: int,
+    lane: int,
+    unroll: int = 4,
+):
+    g = pl.program_id(0)
+    B, Q = queries_ref.shape
+
+    @pl.when(g == 0)
+    def _init():
+        a1_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
+        a2_ref[:] = jnp.full((B, Q), BIG, dtype=jnp.float32)
+        ywin_ref[:] = jnp.full((1, Q), PAD, dtype=jnp.float32)
+        rswin_ref[:] = jnp.zeros((1, Q), dtype=jnp.float32)
+
+    state = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:])
+    state, acc = _wavefront_tile(
+        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane, unroll=unroll
+    )
+    a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = state
+    out_ref[:] = acc
+
+
+def _wavefront_carry_kernel(
+    # inputs
+    queries_ref,  # (B, Q) VMEM
+    ypad_ref,     # (1, TD) SMEM block
+    rspad_ref,    # (1, TD) SMEM block
+    a1_in,        # (B, Q) incoming DP state (diagonal d-1)
+    a2_in,        # (B, Q) incoming DP state (diagonal d-2)
+    ywin_in,      # (1, Q) incoming reference-value window
+    rswin_in,     # (1, Q) incoming reset window
+    # outputs
+    out_ref,      # (B, TD) block
+    a1_out,       # (B, Q) outgoing DP state
+    a2_out,
+    ywin_out,
+    rswin_out,
+    *,
+    td: int,
+    lane: int,
+    unroll: int = 4,
+):
+    """Carry-in/carry-out variant for reference-axis sharding: the cross-
+    tile DP state is an explicit operand pair instead of scratch, so a
+    segment's final state can hop to the neighbor chip (ppermute) and
+    seed its first tile. Same tile body -- bit-identical to running the
+    segments back-to-back on one chip."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        a1_out[:] = a1_in[:]
+        a2_out[:] = a2_in[:]
+        ywin_out[:] = ywin_in[:]
+        rswin_out[:] = rswin_in[:]
+
+    state = (a1_out[:], a2_out[:], ywin_out[:], rswin_out[:])
+    state, acc = _wavefront_tile(
+        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane, unroll=unroll
+    )
+    a1_out[:], a2_out[:], ywin_out[:], rswin_out[:] = state
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))
 def sdtw_wavefront(
     queries: jnp.ndarray,   # (B, Q) float32
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
@@ -134,12 +189,14 @@ def sdtw_wavefront(
     lane: int,              # the uniform qlen-1 row to emit
     td: int = 128,
     unroll: int = 8,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns diag-indexed scores (B, D): out[b, d] = cost[lane, d-lane].
 
     The emitted row is the STATIC lane (qlen-1 of full-length reads);
     clipped reads (qlen != lane+1) must be recomputed on the host.
     `out[:, lane : lane+R]` is the column-indexed last row.
+    interpret=True runs the Pallas interpreter (CPU tests).
     """
     B, Q = queries.shape
     D = ypad.shape[1]
@@ -166,7 +223,64 @@ def sdtw_wavefront(
         cost_estimate=pl.CostEstimate(
             flops=12 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
         ),
+        interpret=interpret,
     )(queries, ypad, rspad)
+
+
+@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))
+def sdtw_wavefront_carry(
+    queries: jnp.ndarray,   # (B, Q) float32
+    ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
+    rspad: jnp.ndarray,     # (1, D) float32
+    a1: jnp.ndarray,        # (B, Q) incoming diagonal d-1 (BIG when fresh)
+    a2: jnp.ndarray,        # (B, Q) incoming diagonal d-2
+    ywin: jnp.ndarray,      # (1, Q) incoming reference window (PAD when fresh)
+    rswin: jnp.ndarray,     # (1, Q) incoming reset window (0 when fresh)
+    lane: int,
+    td: int = 128,
+    unroll: int = 8,
+    interpret: bool = False,
+):
+    """sdtw_wavefront over ONE reference segment with explicit cross-
+    segment DP state: seeds from (a1, a2, ywin, rswin) and returns the
+    final state alongside the diag-indexed scores.
+
+    Running segments back-to-back through this function is bit-identical
+    to one sdtw_wavefront over their concatenation -- the carry is
+    exactly the kernel's cross-tile scratch. This is the building block
+    of the ring-pipelined reference sharding (parallel/shard.py): the
+    O(B x Q) state hops chips via ppermute between segments.
+    """
+    B, Q = queries.shape
+    D = ypad.shape[1]
+    assert D % td == 0 and td % unroll == 0
+    full = pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_wavefront_carry_kernel, td=td, lane=lane, unroll=unroll),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Q), jnp.float32),
+            jax.ShapeDtypeStruct((B, Q), jnp.float32),
+            jax.ShapeDtypeStruct((1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((1, Q), jnp.float32),
+        ],
+        grid=(D // td,),
+        in_specs=[
+            full,
+            pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
+            full, full, row, row,
+        ],
+        out_specs=[
+            pl.BlockSpec((B, td), lambda g: (0, g), memory_space=pltpu.VMEM),
+            full, full, row, row,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * Q * D, bytes_accessed=4 * (4 * B * Q + 2 * D + B * D), transcendentals=0
+        ),
+        interpret=interpret,
+    )(queries, ypad, rspad, a1, a2, ywin, rswin)
 
 
 def prepare_wavefront_inputs(

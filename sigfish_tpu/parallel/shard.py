@@ -266,6 +266,104 @@ def ring_fullref_lastrow(
     )(queries, row_onehot, seg_ref, seg_reset)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_micro", "lane", "td", "unroll", "interpret"),
+)
+def ring_fullref_lastrow_wavefront(
+    queries: jnp.ndarray,   # (B, Q) f32, replicated; B divisible by n_micro
+    seg_ypad: jnp.ndarray,  # (n_tp, Rs) f32 column segments (PAD-filled tail)
+    seg_rspad: jnp.ndarray,  # (n_tp, Rs) f32 track-start resets (1.0/0.0)
+    mesh: Mesh,
+    n_micro: int,
+    lane: int,
+    td: int = 128,
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ring_fullref_lastrow with the production wavefront kernel.
+
+    Same microbatch pipeline over the 'tp' ring, but the hop payload is
+    the wavefront's cross-tile state -- the last two anti-diagonals
+    (2 x (Bm, Q)) plus the skewed reference/reset windows (2 x (1, Q)) --
+    via sdtw_wavefront_carry, which makes chained segments bit-identical
+    to one kernel pass over the concatenation.
+
+    The kernel emits diag-indexed scores: global diagonal d holds the
+    last-row value of column d - lane, so the gathered (B, n_tp*Rs)
+    array is the column-indexed last row shifted by `lane`. The tail of
+    seg_ypad must carry >= lane PAD columns (prepare pads R+Q up, see
+    runtime/pipeline.py) so every real column's emission lands inside
+    the gathered span; this function re-aligns and returns (B, n_tp*Rs)
+    column-indexed, BIG in the (invalid) tail -- a drop-in replacement
+    for ring_fullref_lastrow's output.
+    """
+    from ..ops.sdtw_pallas import BIG as WBIG
+    from ..ops.sdtw_pallas import PAD as WPAD
+    from ..ops.sdtw_pallas import sdtw_wavefront_carry
+
+    B, Q = queries.shape
+    n_tp, Rs = seg_ypad.shape
+    Bm = B // n_micro
+
+    def local(q, yp, rp):
+        s = jax.lax.axis_index("tp")
+        yseg = yp.reshape(1, Rs)
+        rseg = rp.reshape(1, Rs)
+        nsteps = n_micro + n_tp - 1
+        fresh_a = jnp.full((Bm, Q), np.float32(WBIG), jnp.float32)
+        fresh_yw = jnp.full((1, Q), np.float32(WPAD), jnp.float32)
+        fresh_rw = jnp.zeros((1, Q), jnp.float32)
+
+        def step(state, t):
+            (in_a1, in_a2, in_yw, in_rw), out = state
+            m = t - s
+            active = jnp.logical_and(m >= 0, m < n_micro)
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            qm = jax.lax.dynamic_slice_in_dim(q, m_c * Bm, Bm, axis=0)
+            # segment 0 starts fresh; others seed from the neighbor
+            a1 = jnp.where(s == 0, fresh_a, in_a1)
+            a2 = jnp.where(s == 0, fresh_a, in_a2)
+            yw = jnp.where(s == 0, fresh_yw, in_yw)
+            rw = jnp.where(s == 0, fresh_rw, in_rw)
+            o, a1n, a2n, ywn, rwn = sdtw_wavefront_carry(
+                qm, yseg, rseg, a1, a2, yw, rw,
+                lane=lane, td=td, unroll=unroll, interpret=interpret,
+            )
+            out = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice_in_dim(out, o[None], m_c, axis=0),
+                out,
+            )
+            og = [
+                jnp.where(active, n, i)
+                for n, i in ((a1n, in_a1), (a2n, in_a2), (ywn, in_yw), (rwn, in_rw))
+            ]
+            perm = [(i, (i + 1) % n_tp) for i in range(n_tp)]
+            nxt = tuple(jax.lax.ppermute(x, "tp", perm) for x in og)
+            return (nxt, out), None
+
+        out0 = jnp.zeros((n_micro, Bm, Rs), jnp.float32)
+        init = (fresh_a, fresh_a, fresh_yw, fresh_rw)
+        state, _ = jax.lax.scan(step, (init, out0), jnp.arange(nsteps))
+        lr_diag = state[1].reshape(B, Rs)
+        g = jax.lax.all_gather(lr_diag, "tp", axis=1, tiled=True)
+        # diag -> column indexing: drop the first `lane` slots, BIG-pad
+        # the tail (those columns are ypad PAD, masked invalid upstream)
+        lr = g[:, lane:]
+        return jnp.pad(
+            lr, ((0, 0), (0, lane)), constant_values=np.float32(3.0e38)
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("tp", None), P("tp", None)),
+        out_specs=P(),
+        check_vma=False,
+    )(queries, seg_ypad, seg_rspad)
+
+
 def _col_update_noreset(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
     """Single DP column update (prefix-min identity), no track resets."""
     s = jnp.cumsum(local, axis=1, dtype=jnp.float32)

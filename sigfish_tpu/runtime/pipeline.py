@@ -237,7 +237,10 @@ class Core:
                 n_tp = n_dev
                 ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt, align=W)
                 unit = opt.ckpt * W // _math.gcd(opt.ckpt, W)
-                per = -(-ref_cat.shape[0] // n_tp)  # ceil division
+                # + pad_q: the wavefront ring needs >= lane (= W-1) PAD
+                # diagonals after the last real column to flush its
+                # emissions (parallel/shard.ring_fullref_lastrow_wavefront)
+                per = -(-(ref_cat.shape[0] + self.pad_q) // n_tp)
                 Rs = ((per + unit - 1) // unit) * unit
                 R_ring = n_tp * Rs
                 pad_ref = np.full(R_ring, 1.0e18, dtype=np.float32)
@@ -250,6 +253,9 @@ class Core:
                 self.shard_Rs = Rs
                 self.ring_ref_dev = jnp.asarray(ref_cat.reshape(n_tp, Rs))
                 self.ring_reset_dev = jnp.asarray(reset.reshape(n_tp, Rs))
+                self.ring_rspad_dev = jnp.asarray(
+                    reset.reshape(n_tp, Rs).astype(np.float32)
+                )
             elif n_dev > 1:
                 from ..parallel import make_mesh, shard_tracks
                 from ..ops.sdtw_pallas import prepare_wavefront_inputs as _pwf
@@ -389,17 +395,27 @@ class Core:
         if self.engine == "native" and self.mesh is None:
             return self._native_candidates_submit(qb, qlens, n_live)
         if self.mesh is not None and self.mesh_mode == "ring":
-            from ..parallel.shard import ring_fullref_lastrow
+            from ..parallel.shard import (
+                ring_fullref_lastrow,
+                ring_fullref_lastrow_wavefront,
+            )
 
             B = qb.shape[0]
             n_micro = min(B, 32)
             while B % n_micro:
                 n_micro -= 1  # must divide the batch exactly
-            lr = ring_fullref_lastrow(
-                jnp.asarray(qb), jnp.asarray(onehot),
-                self.ring_ref_dev, self.ring_reset_dev,
-                self.mesh, n_micro=n_micro, ckpt=self.opt.ckpt,
-            )
+            if self.use_pallas:
+                lr = ring_fullref_lastrow_wavefront(
+                    jnp.asarray(qb), self.ring_ref_dev, self.ring_rspad_dev,
+                    self.mesh, n_micro=n_micro,
+                    lane=self.opt.query_size - 1, td=128,
+                )
+            else:
+                lr = ring_fullref_lastrow(
+                    jnp.asarray(qb), jnp.asarray(onehot),
+                    self.ring_ref_dev, self.ring_reset_dev,
+                    self.mesh, n_micro=n_micro, ckpt=self.opt.ckpt,
+                )
             qlens_dev2 = jnp.asarray(qlens.astype(np.int32))
             R_ring = self.ref_cat.shape[0]
             packed = device_window_top5(

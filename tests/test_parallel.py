@@ -131,3 +131,70 @@ def test_ring_mode_pipeline_matches_single_device():
         return out.getvalue()
 
     assert run("1x4") == run(None)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_wavefront_matches_single_kernel():
+    """Wavefront ring (carry hops via ppermute) == one single-device
+    wavefront pass, bit for bit (interpret mode on the CPU mesh)."""
+    from sigfish_tpu.ops.sdtw_pallas import (
+        prepare_wavefront_inputs,
+        sdtw_wavefront,
+    )
+    from sigfish_tpu.parallel.shard import ring_fullref_lastrow_wavefront
+
+    rng = np.random.default_rng(3)
+    td = 128
+    n_tp, Rs = 4, 256  # Rs multiple of td
+    W = 48
+    lane = W - 1
+    Q = 64  # padded query width > W (the production pad_q relation)
+    B = 8
+    # real columns end early enough to leave >= lane flush diagonals
+    R_real = n_tp * Rs - Q
+    tracks = [
+        rng.standard_normal(s).astype(np.float32)
+        for s in (R_real - 700, 400, 300)
+    ]
+    ref = np.concatenate(tracks)
+    reset = np.zeros(R_real, bool)
+    pos = 0
+    for t in tracks:
+        reset[pos] = True
+        pos += t.size
+    # segment layout: PAD-filled tail, reset at the pad boundary
+    ypad = np.full(n_tp * Rs, 1.0e18, np.float32)
+    ypad[:R_real] = ref
+    rspad = np.zeros(n_tp * Rs, np.float32)
+    rspad[:R_real] = reset
+    rspad[R_real] = 1.0
+
+    queries = [rng.standard_normal(W).astype(np.float32) for _ in range(B)]
+    qb, qlens, onehot = make_query_batch(queries, pad_q=Q)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_tp]).reshape(1, n_tp), ("dp", "tp"))
+    lr_ring = np.asarray(
+        ring_fullref_lastrow_wavefront(
+            jnp.asarray(qb),
+            jnp.asarray(ypad.reshape(n_tp, Rs)),
+            jnp.asarray(rspad.reshape(n_tp, Rs)),
+            mesh, n_micro=2, lane=lane, td=td, unroll=4, interpret=True,
+        )
+    )
+    # single-device wavefront oracle over the same concatenation
+    yp1, rp1, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
+    ds = np.asarray(
+        sdtw_wavefront(
+            jnp.asarray(qb), jnp.asarray(yp1), jnp.asarray(rp1),
+            lane=lane, td=td, unroll=4, interpret=True,
+        )
+    )
+    lr1 = ds[:, lane : lane + R_real]
+    assert np.array_equal(lr_ring[:, :R_real], lr1)
+    # and argmin-level agreement with the scan engine (different op
+    # order; candidate selection must still match)
+    lr_scan = np.asarray(
+        sdtw_scan(jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(ref),
+                  jnp.asarray(reset), ckpt=64)  # 64 divides R_real
+    )
+    np.testing.assert_allclose(lr_ring[:, :R_real], lr_scan, rtol=1e-5, atol=1e-4)
