@@ -422,6 +422,7 @@ class Core:
                 lr, qlens_dev2, self.valid_dev, R_ring,
                 W=self.opt.query_size, k=5, reindex=False, pack=True,
             )
+            _start_host_copy(packed)
             return dict(packed=packed, qlens=qlens, B=B)
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
@@ -461,6 +462,7 @@ class Core:
                 lr, qlp_dev, self.valid_dev, R, W=W, k=5, reindex=False,
                 pack=True,
             )
+            _start_host_copy(packed)
             return dict(packed=packed, qlens=qlens, B=B)
         if self.use_pallas:
             Q = qb.shape[1]
@@ -492,6 +494,7 @@ class Core:
             scores, qlens_dev, self.valid_dev, R, W=W, k=5, reindex=reindex,
             pack=True,
         )
+        _start_host_copy(packed)
         return dict(packed=packed, qlens=qlens, B=qb.shape[0])
 
     def _native_candidates_submit(
@@ -758,6 +761,16 @@ class PendingBatch:
     handle: dict | None = None
     last_row: np.ndarray | None = None  # --dtw-std path (host)
     dtw_t0: float = 0.0
+
+
+def _start_host_copy(arr) -> None:
+    """Queue the device->host copy behind the async dispatch so the
+    transfer overlaps the next batch's host stages; the blocking
+    np.asarray at collect time then finds it (mostly) done."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
 
 
 def _pool_map(pool, fn, items, chunk: int = 32):
