@@ -27,6 +27,10 @@ def _build() -> bool:
             "g++", "-O3", "-march=native", "-ffp-contract=off", "-fno-math-errno", "-shared", "-fPIC",
             "-o", _SO, _SRC, "-lz",
         ]
+        if os.environ.get("SIGFISH_TPU_ASAN"):
+            # sanitizer build (ref Makefile:29-32 `make asan=1`); run
+            # python under LD_PRELOAD=$(g++ -print-file-name=libasan.so)
+            cmd[1:1] = ["-fsanitize=address,undefined", "-g"]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
         if r.returncode != 0:
             sys.stderr.write(f"[native] build failed:\n{r.stderr}\n")
