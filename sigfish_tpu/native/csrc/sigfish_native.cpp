@@ -25,6 +25,10 @@
 
 #include <zlib.h>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- DTW
@@ -256,13 +260,13 @@ void sf_zscore(float* x, int64_t n) {
 // vectorization preserves bit-exactness; note sums[i-w] is subtracted
 // unconditionally -- sums[0] == 0.0 makes the i == w case identical to
 // the reference's skipped subtraction).
-static void sf_tstat_loop(const double* __restrict sums,
-                          const double* __restrict sumsqs,
-                          int64_t nsample, int32_t w,
-                          float* __restrict tst) {
+static void sf_tstat_range(const double* __restrict sums,
+                           const double* __restrict sumsqs,
+                           int64_t i0, int64_t i1, int32_t w,
+                           float* __restrict tst) {
     const float eta = FLT_MIN;
     const float w_lengthf = (float)w;
-    for (int64_t i = w; i <= nsample - w; i++) {
+    for (int64_t i = i0; i <= i1; i++) {
         double sum1 = sums[i] - sums[i - w];
         double sumsq1 = sumsqs[i] - sumsqs[i - w];
         float sum2 = (float)(sums[i + w] - sums[i]);
@@ -280,6 +284,56 @@ static void sf_tstat_loop(const double* __restrict sums,
     }
 }
 
+// Vectorized t-stat. Every operation of the scalar loop is a per-lane
+// IEEE op (sub/div/mul/cvt/sqrt/abs/max in the same order and widths:
+// f64 for the left window and the accumulation chain, f32 for the right
+// window), so the 8-lane AVX-512 body is bit-identical to the scalar
+// loop — verified lane-for-lane by tests/test_native.py. vmaxps keeps
+// fmaxf's NaN semantics here (returns the second operand, eta, when the
+// variance lane is NaN). Scalar tail for the remainder.
+static void sf_tstat_loop(const double* __restrict sums,
+                          const double* __restrict sumsqs,
+                          int64_t nsample, int32_t w,
+                          float* __restrict tst) {
+    int64_t i = w;
+    const int64_t iend = nsample - w;  // inclusive
+#if defined(__AVX512F__)
+    const float w_lengthf = (float)w;
+    const __m512d wd = _mm512_set1_pd((double)w_lengthf);
+    const __m256 wf = _mm256_set1_ps(w_lengthf);
+    const __m256 eta = _mm256_set1_ps(FLT_MIN);
+    for (; i + 7 <= iend; i += 8) {
+        __m512d s_l = _mm512_loadu_pd(sums + i - w);
+        __m512d s_i = _mm512_loadu_pd(sums + i);
+        __m512d s_r = _mm512_loadu_pd(sums + i + w);
+        __m512d q_l = _mm512_loadu_pd(sumsqs + i - w);
+        __m512d q_i = _mm512_loadu_pd(sumsqs + i);
+        __m512d q_r = _mm512_loadu_pd(sumsqs + i + w);
+        __m512d sum1 = _mm512_sub_pd(s_i, s_l);
+        __m512d sumsq1 = _mm512_sub_pd(q_i, q_l);
+        __m256 sum2 = _mm512_cvtpd_ps(_mm512_sub_pd(s_r, s_i));
+        __m256 sumsq2 = _mm512_cvtpd_ps(_mm512_sub_pd(q_r, q_i));
+        __m256 mean1 = _mm512_cvtpd_ps(_mm512_div_pd(sum1, wd));
+        __m256 mean2 = _mm256_div_ps(sum2, wf);
+        // (((sumsq1/w)_f64 - (mean1*mean1)_f32) + (sumsq2/w)_f32) -
+        // (mean2*mean2)_f32, accumulated in f64 exactly as the scalar
+        // expression promotes
+        __m512d acc = _mm512_div_pd(sumsq1, wd);
+        acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean1, mean1)));
+        acc = _mm512_add_pd(acc, _mm512_cvtps_pd(_mm256_div_ps(sumsq2, wf)));
+        acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean2, mean2)));
+        __m256 cv = _mm256_max_ps(_mm512_cvtpd_ps(acc), eta);
+        __m256 delta = _mm256_sub_ps(mean2, mean1);
+        __m512d denom =
+            _mm512_sqrt_pd(_mm512_cvtps_pd(_mm256_div_ps(cv, wf)));
+        __m512d absd = _mm512_abs_pd(_mm512_cvtps_pd(delta));
+        _mm256_storeu_ps(tst + i,
+                         _mm512_cvtpd_ps(_mm512_div_pd(absd, denom)));
+    }
+#endif
+    sf_tstat_range(sums, sumsqs, i, iend, w, tst);
+}
+
 // t-test event segmentation, one call per read. Exact port of
 // ops/events.py (itself validated against src/events.c semantics).
 // Outputs sized <= nsample+1; returns the event count.
@@ -289,16 +343,37 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
                          int64_t* ev_start, float* ev_len,
                          float* ev_mean, float* ev_stdv) {
     if (nsample <= 0) return 0;
-    // prefix sums in double over float32 data (events.c:297-307)
-    double* sums = (double*)malloc(sizeof(double) * (nsample + 1));
-    double* sumsqs = (double*)malloc(sizeof(double) * (nsample + 1));
-    float* tstat[2];
-    tstat[0] = (float*)calloc(nsample, sizeof(float));
-    tstat[1] = (float*)calloc(nsample, sizeof(float));
-    if (!sums || !sumsqs || !tstat[0] || !tstat[1]) {
-        free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]);
-        return -1;
+    // per-thread growable scratch: a fresh multi-MB malloc/free pair per
+    // read costs ~2 ns/sample in page faults at RNA read lengths
+    static thread_local double* sums = nullptr;
+    static thread_local double* sumsqs = nullptr;
+    static thread_local float* tstat0 = nullptr;
+    static thread_local float* tstat1 = nullptr;
+    static thread_local int64_t* peaks = nullptr;
+    static thread_local int64_t scratch_cap = 0;
+    if (nsample + 1 > scratch_cap) {
+        int64_t cap = nsample + 1;
+        if (cap < 2 * scratch_cap) cap = 2 * scratch_cap;
+        free(sums); free(sumsqs); free(tstat0); free(tstat1); free(peaks);
+        sums = (double*)malloc(sizeof(double) * cap);
+        sumsqs = (double*)malloc(sizeof(double) * cap);
+        tstat0 = (float*)malloc(sizeof(float) * cap);
+        tstat1 = (float*)malloc(sizeof(float) * cap);
+        peaks = (int64_t*)malloc(sizeof(int64_t) * cap);
+        if (!sums || !sumsqs || !tstat0 || !tstat1 || !peaks) {
+            free(sums); free(sumsqs); free(tstat0); free(tstat1);
+            free(peaks);
+            sums = sumsqs = nullptr; tstat0 = tstat1 = nullptr;
+            peaks = nullptr; scratch_cap = 0;
+            return -1;
+        }
+        scratch_cap = cap;
     }
+    float* tstat[2] = {tstat0, tstat1};
+    // zero only what the detector reads (positions outside the computed
+    // t-stat range stay 0, as with the original calloc)
+    memset(tstat0, 0, sizeof(float) * nsample);
+    memset(tstat1, 0, sizeof(float) * nsample);
     sums[0] = 0.0; sumsqs[0] = 0.0;
     for (int64_t i = 0; i < nsample; i++) {
         double v = (double)sig[i];
@@ -328,11 +403,6 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         {tstat[0], t1f, w1, 0, -1, FLT_MAX, 0},
         {tstat[1], t2f, w2, 0, -1, FLT_MAX, 0},
     };
-    int64_t* peaks = (int64_t*)malloc(sizeof(int64_t) * (nsample + 1));
-    if (!peaks) {
-        free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]);
-        return -1;
-    }
     int64_t npeak = 0;
     for (int64_t i = 0; i < nsample; i++) {
         for (int k = 0; k < 2; k++) {
@@ -393,11 +463,37 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         nev++;
         start = end;
     }
-    free(sums); free(sumsqs); free(tstat[0]); free(tstat[1]); free(peaks);
     return nev;
 }
 
 // -------------------------------------------------------------- blow5
+
+#if defined(__SSSE3__)
+// streamvbyte shuffle tables: for each control byte, a pshufb mask that
+// expands the 1..4-byte little-endian values of a 4-value group to four
+// zero-extended u32 lanes, plus the group's total data length.
+struct SvbTables {
+    uint8_t shuf[256][16];
+    uint8_t len[256];
+    SvbTables() {
+        for (int c = 0; c < 256; c++) {
+            int pos = 0;
+            for (int v = 0; v < 4; v++) {
+                int nb = ((c >> (v * 2)) & 3) + 1;
+                for (int b = 0; b < 4; b++)
+                    shuf[c][v * 4 + b] =
+                        (b < nb) ? (uint8_t)(pos + b) : 0xFF;
+                pos += nb;
+            }
+            len[c] = (uint8_t)pos;
+        }
+    }
+};
+static const SvbTables& svb_tables() {
+    static SvbTables t;  // C++11 magic static: thread-safe init
+    return t;
+}
+#endif
 
 // One BLOW5 record: optional zlib record decompression, fixed-column
 // parse (slow5_defs.h:84-94 layout), optional svb-zd signal decode
@@ -473,7 +569,44 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
         const uint8_t* data = sv + 4 + nctrl;
         const uint8_t* dend = sv + len_raw;
         int32_t prev = 0;
-        for (int64_t i = 0; i < (int64_t)count; i++) {
+        int64_t i = 0;
+#if defined(__SSSE3__)
+        // SIMD fast path: expand a 4-value group with one pshufb, then
+        // zigzag + in-register prefix sum. Integer ops — results are
+        // identical to the scalar loop bit for bit; the scalar tail
+        // below finishes the remainder (and keeps the strict per-value
+        // bounds check for truncated streams).
+        {
+            const SvbTables& tb = svb_tables();
+            const __m128i one = _mm_set1_epi32(1);
+            const __m128i zero = _mm_setzero_si128();
+            // low 16 bits of each u32 lane -> four i16 (C cast truncates)
+            const __m128i pack16 = _mm_setr_epi8(
+                0, 1, 4, 5, 8, 9, 12, 13,
+                (char)0x80, (char)0x80, (char)0x80, (char)0x80,
+                (char)0x80, (char)0x80, (char)0x80, (char)0x80);
+            __m128i prevv = _mm_setzero_si128();
+            while (i + 4 <= (int64_t)count && data + 16 <= dend) {
+                uint8_t c = ctrl[i >> 2];
+                __m128i raw = _mm_loadu_si128((const __m128i*)data);
+                __m128i zz = _mm_shuffle_epi8(
+                    raw, _mm_loadu_si128((const __m128i*)tb.shuf[c]));
+                __m128i d = _mm_xor_si128(
+                    _mm_srli_epi32(zz, 1),
+                    _mm_sub_epi32(zero, _mm_and_si128(zz, one)));
+                d = _mm_add_epi32(d, _mm_slli_si128(d, 4));
+                d = _mm_add_epi32(d, _mm_slli_si128(d, 8));
+                __m128i s = _mm_add_epi32(d, prevv);
+                _mm_storel_epi64((__m128i*)(signal_out + i),
+                                 _mm_shuffle_epi8(s, pack16));
+                prevv = _mm_shuffle_epi32(s, _MM_SHUFFLE(3, 3, 3, 3));
+                data += tb.len[c];
+                i += 4;
+            }
+            prev = _mm_cvtsi128_si32(prevv);
+        }
+#endif
+        for (; i < (int64_t)count; i++) {
             uint32_t code = (ctrl[i >> 2] >> ((i & 3) * 2)) & 0x3;
             uint32_t nb = code + 1;
             if (data + nb > dend) { free(heap); return -1; }

@@ -224,3 +224,34 @@ def test_index_to_explicit_path(tmp_path):
     rec = sf.decode_record(sf._fp.read(sz))
     assert rec.read_id == rid
     sf.close()
+
+
+def test_native_decode_random_roundtrip(tmp_path):
+    """Random signals through Slow5Writer (zlib + svb-zd) and back via the
+    native decoder -- exercises the SIMD streamvbyte fast path across all
+    code-length mixes, group tails (n % 4), and empty signals."""
+    from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
+
+    rng = np.random.default_rng(7)
+    sigs = []
+    for _ in range(50):
+        n = int(rng.integers(0, 3000))
+        mag = int(rng.choice([5, 200, 20000, 32767]))
+        sigs.append(rng.integers(-mag, mag, size=n).astype(np.int16))
+    p = str(tmp_path / "stress.blow5")
+    with Slow5Writer(p, header_data=[{"experiment_type": "genomic_dna"}]) as w:
+        for i, s in enumerate(sigs):
+            w.write_record(
+                Slow5Record(
+                    read_id=f"r{i}",
+                    read_group=0,
+                    digitisation=8192.0,
+                    offset=0.0,
+                    range=1400.0,
+                    sampling_rate=4000.0,
+                    raw_signal=s,
+                )
+            )
+    with Slow5File(p) as sf:
+        for i, rec in enumerate(sf):
+            np.testing.assert_array_equal(rec.raw_signal, sigs[i])
