@@ -217,16 +217,29 @@ void sf_subsequence_lastrow(const float* __restrict x, int32_t n,
 int32_t sf_subsequence_backtrack(const float* x, int32_t n, const float* y,
                                  int32_t m, int32_t starty, int32_t use_std,
                                  int32_t* px, int32_t* py) {
-    float* cost = (float*)malloc(sizeof(float) * (int64_t)n * m);
-    float* scratch = (float*)malloc(sizeof(float) * 3 * (int64_t)(n + 1));
-    if (!cost || !scratch) { free(cost); free(scratch); return -1; }
+    // per-thread growable scratch: the multi-MB cost window is
+    // reallocated once per top-5 candidate otherwise (page-fault churn)
+    static thread_local float* cost = nullptr;
+    static thread_local float* scratch = nullptr;
+    static thread_local int64_t cost_cap = 0, scratch_cap = 0;
+    int64_t need_cost = (int64_t)n * m;
+    int64_t need_scratch = 3 * (int64_t)(n + 1);
+    if (need_cost > cost_cap) {
+        free(cost);
+        cost = (float*)malloc(sizeof(float) * need_cost);
+        cost_cap = cost ? need_cost : 0;
+        if (!cost) return -1;
+    }
+    if (need_scratch > scratch_cap) {
+        free(scratch);
+        scratch = (float*)malloc(sizeof(float) * need_scratch);
+        scratch_cap = scratch ? need_scratch : 0;
+        if (!scratch) return -1;
+    }
     if (use_std) sf_std_dtw(x, n, y, m, cost, 0);
     else if (n >= 2 && m >= 2) subsequence_diag(x, n, y, m, cost, scratch);
     else sf_subsequence(x, n, y, m, cost);
-    int32_t k = sf_subsequence_path(cost, n, m, starty, px, py);
-    free(cost);
-    free(scratch);
-    return k;
+    return sf_subsequence_path(cost, n, m, starty, px, py);
 }
 
 // ------------------------------------------------------------ zscore
