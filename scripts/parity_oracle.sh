@@ -109,6 +109,17 @@ with Slow5Writer("/tmp/parity_2groups.blow5", header_data=h2) as w:
 PYGEN3
 run_case dna_2groups "$DNA_TSV" "$REF/nCoV-2019.reference.fasta" /tmp/parity_2groups.blow5
 
+# single-candidate reference (one 40-base RNA contig, q > track events -> one
+# window -> d2=inf): exercises the (int)round(inf) -> uint8_t wrap that makes
+# the reference print mapq 0 (sigfish.c:979-983 + sigfish.h:153)
+python - <<'PYGEN5'
+import random
+random.seed(7)
+with open("/tmp/parity_tiny.fa", "w") as f:
+    f.write(">tiny\n" + "".join(random.choice("ACGT") for _ in range(40)) + "\n")
+PYGEN5
+run_case rna_d2inf "$RNA_TSV" /tmp/parity_tiny.fa "$REF/sequin_rna.blow5" --rna -q 50
+
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
     > "$OUT/eval.oracle" 2>/dev/null

@@ -21,6 +21,7 @@ sigfish.c:870-964) -- preserved here because it decides ties.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -86,12 +87,29 @@ def rank_candidates(
 
 
 def compute_mapq(d1: float, d2: float) -> int:
-    """ref: sigfish.c:979-983."""
-    if not np.isfinite(d2) or d1 == 0:
-        return 60
-    mapq = int(round(500.0 * (d2 - d1) / d1))
+    """ref: sigfish.c:979-983 plus the uint8_t store at sigfish.h:153.
+
+    The reference computes ``(int)round(500*(score2-score)/score)`` where the
+    scores are C floats, clamps only the >60 side, and stores into a uint8_t.
+    Three behaviors matter for byte parity:
+      - the expression is evaluated in float32 (both operands are floats);
+      - round() is half AWAY from zero (not Python banker's rounding);
+      - (int) of inf/nan/overflow yields INT_MIN on x86-64 (cvttsd2si), and
+        the uint8_t narrowing store keeps the low byte -> mapq prints 0 for
+        single-candidate references (d2=inf) or d1=0.
+    """
+    s1 = np.float32(d1)
+    s2 = np.float32(d2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = float(np.float32(500.0) * (s2 - s1) / s1)
+    if math.isnan(x) or math.isinf(x) or not (-2147483649.0 < x < 2147483648.0):
+        mapq = -(2**31)
+    else:
+        f = math.floor(abs(x))
+        r = f + 1 if abs(x) - f >= 0.5 else f
+        mapq = int(math.copysign(r, x))
+        if not (-(2**31) <= mapq < 2**31):
+            mapq = -(2**31)
     if mapq > 60:
         mapq = 60
-    if mapq < 0:
-        mapq = 0
-    return mapq
+    return mapq & 0xFF
