@@ -55,6 +55,9 @@ def build_workload(path: str) -> int:
 
 
 def main() -> None:
+    import sigfish_tpu
+
+    sigfish_tpu.enable_xla_cache()
     from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
     tmp = tempfile.mktemp(suffix=".blow5")

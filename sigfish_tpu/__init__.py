@@ -21,12 +21,16 @@ __version__ = "0.2.0"  # capability parity with sigfish 0.2.0 (SAM @PG VN)
 SIGFISH_TPU_VERSION = __version__
 
 
-def _enable_xla_cache() -> None:
+def enable_xla_cache() -> None:
     """Persistent XLA compilation cache: the RNA engine shapes take
     ~2-3 min to compile cold and milliseconds to load back (observed
     145s -> 6.5s end-to-end on the sequin test). Opt out with
     SIGFISH_TPU_NO_XLA_CACHE=1 or point elsewhere with
-    SIGFISH_TPU_XLA_CACHE_DIR."""
+    SIGFISH_TPU_XLA_CACHE_DIR.
+
+    Called from the CLI entry points (cli.main / bench), NOT at package
+    import: a library import must not mutate process-global jax config.
+    """
     import os
 
     if os.environ.get("SIGFISH_TPU_NO_XLA_CACHE"):
@@ -43,6 +47,3 @@ def _enable_xla_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # older jax or read-only home: run without the cache
-
-
-_enable_xla_cache()

@@ -75,7 +75,10 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
     p.add_argument("--mesh", default=None, metavar="DPxTP", help="device mesh, e.g. 4x2 = 4-way read-batch x 2-way track sharding [1 device]")
     p.add_argument("--trace", default=None, metavar="DIR", help="write a JAX profiler trace (xprof) of the run to DIR")
-    p.add_argument("--shard", default=None, metavar="I/N", help="map only record stripe I of N (multi-host data parallelism; concatenate per-host outputs)")
+    p.add_argument("--shard", default=None, metavar="I/N", help="map only record stripe I of N (manual multi-host data parallelism; concatenate per-host outputs)")
+    p.add_argument("--hosts", type=int, default=None, metavar="N", help="number of hosts in the jax.distributed cluster [env SIGFISH_HOSTS or 1]")
+    p.add_argument("--host-id", type=int, default=None, metavar="I", help="this process's id, 0..N-1 [env SIGFISH_HOST_ID]")
+    p.add_argument("--coordinator", default=None, metavar="ADDR:PORT", help="host 0's coordination address [env SIGFISH_COORDINATOR]")
     return p
 
 
@@ -140,18 +143,91 @@ def dtw_main(argv: list[str]) -> int:
             p_err = make_dtw_parser()
             p_err.error(f"--shard {args.shard}: need 0 <= I < N")
 
+    # multi-host cluster (jax.distributed); env fallbacks let launchers
+    # set the topology without touching the arg vector
+    import os as _os
+
+    n_hosts = args.hosts if args.hosts is not None else int(
+        _os.environ.get("SIGFISH_HOSTS", "1")
+    )
+    host_id = args.host_id if args.host_id is not None else int(
+        _os.environ.get("SIGFISH_HOST_ID", "0")
+    )
+    coordinator = args.coordinator or _os.environ.get("SIGFISH_COORDINATOR")
+    if n_hosts > 1:
+        if opt.n_shards > 1:
+            p.error("--shard (manual striping) and --hosts are exclusive")
+        if not (0 <= host_id < n_hosts):
+            p.error(f"--host-id {host_id}: need 0 <= I < --hosts {n_hosts}")
+        if not coordinator:
+            p.error("--hosts > 1 needs --coordinator ADDR:PORT (or SIGFISH_COORDINATOR)")
+        from .parallel.distributed import init_distributed
+
+        init_distributed(coordinator, n_hosts, host_id)
+
     out_fp = sys.stdout if args.output in (None, "-") else open(args.output, "w")
     core = Core(args.genome, args.reads, opt)
-    if core.opt.sam:
-        out_fp.write(sam_header(core.ref.ref_names, core.ref.ref_lengths, __version__))
+
+    if n_hosts > 1:
+        # contiguous byte-balanced record range for this host: one index
+        # pass, then seek straight to the range start
+        from .parallel.distributed import compute_host_ranges
+
+        rng = compute_host_ranges(core.sf, n_hosts)[host_id]
+        core.sf.seek_record(rng.file_offset, rng.rec_start)
+        opt.rec_limit = rng.n_records
+        import io as _io
+
+        body_fp: object = _io.StringIO()
+    else:
+        body_fp = out_fp
+        if core.opt.sam:
+            out_fp.write(
+                sam_header(core.ref.ref_names, core.ref.ref_lengths, __version__)
+            )
 
     if args.trace:
         import jax
 
         with jax.profiler.trace(args.trace):
-            run_dtw(core, out_fp)
+            run_dtw(core, body_fp)
     else:
-        run_dtw(core, out_fp)
+        run_dtw(core, body_fp)
+
+    if n_hosts > 1:
+        # deterministic ordered emission: ranges are contiguous and in
+        # file order, so host-order concatenation reproduces the
+        # single-process output byte-for-byte (host 0 writes)
+        from .parallel.distributed import gather_counters, gather_ordered
+
+        merged = gather_ordered(
+            body_fp.getvalue().encode(), host_id, n_hosts
+        )
+        totals = gather_counters(
+            {
+                "total_reads": core.total_reads,
+                "prefix_fail": core.prefix_fail,
+                "ignored": core.ignored,
+                "too_short": core.too_short,
+                "sum_bytes": core.sum_bytes,
+            },
+            host_id,
+            n_hosts,
+        )
+        if host_id == 0:
+            if core.opt.sam:
+                out_fp.write(
+                    sam_header(
+                        core.ref.ref_names, core.ref.ref_lengths, __version__
+                    )
+                )
+            out_fp.write(merged.decode())
+            out_fp.flush()
+            sys.stderr.write(
+                f"[dtw_main] (all {n_hosts} hosts) total entries: "
+                f"{totals['total_reads']}\tprefix fail: {totals['prefix_fail']}"
+                f"\tignored: {totals['ignored']}\ttoo short: {totals['too_short']}\n"
+            )
 
     # final report, ref dtw_main.c:331-345 + main.c:98-99
     e = sys.stderr
@@ -198,6 +274,22 @@ def eval_cli(argv: list[str]) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize pins the TPU platform via jax.config,
+        # which silently overrides the JAX_PLATFORMS env var -- re-apply
+        # the user's explicit choice through the config (must run before
+        # the backend first initializes)
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    from . import enable_xla_cache
+
+    enable_xla_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         sys.stderr.write(

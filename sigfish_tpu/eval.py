@@ -12,10 +12,22 @@ ref: sigfish src/eval.c. Output text matches print_compare_stat
 
 from __future__ import annotations
 
+import re
 import sys
 from dataclasses import dataclass, field
 
 THRESHOLD = 100
+
+_ATOI_RE = re.compile(r"[ \t\n\r\f\v]*([+-]?[0-9]*)")
+
+
+def _atoi(s: str) -> int:
+    """C atoi semantics (eval.c uses atoi throughout parse_paf_rec):
+    optional whitespace + sign, then the longest digit prefix; anything
+    else (including a trailing ``.5`` or junk) is ignored; no digits -> 0.
+    """
+    d = _ATOI_RE.match(s).group(1)
+    return int(d) if d.strip("+-") else 0
 
 
 @dataclass
@@ -34,8 +46,13 @@ class PafRec:
 
 
 def parse_paf_rec(line: str) -> PafRec:
-    """ref: parse_paf_rec eval.c:80-152 (atoi semantics: int(float prefix))."""
-    f = line.rstrip("\r\n").split("\t")
+    """ref: parse_paf_rec eval.c:80-152.
+
+    Tokenization mirrors ``strtok(buffer, "\\t\\r\\n")``: runs of
+    delimiters collapse (empty columns are skipped), and every numeric
+    column is read with C atoi (tolerates floats / trailing junk).
+    """
+    f = [t for t in re.split(r"[\t\r\n]+", line) if t]
     if len(f) < 12:
         raise ValueError(f"bad PAF line: {line!r}")
     strand = 0 if f[4] == "+" else 1 if f[4] == "-" else None
@@ -49,15 +66,15 @@ def parse_paf_rec(line: str) -> PafRec:
             tp = "S"
     return PafRec(
         rid=f[0],
-        qlen=int(f[1]),
-        query_start=int(f[2]),
-        query_end=int(f[3]),
+        qlen=_atoi(f[1]),
+        query_start=_atoi(f[2]),
+        query_end=_atoi(f[3]),
         strand=strand,
         tid=f[5],
-        tlen=int(f[6]),
-        target_start=int(f[7]),
-        target_end=int(f[8]),
-        mapq=int(f[11]),
+        tlen=_atoi(f[6]),
+        target_start=_atoi(f[7]),
+        target_end=_atoi(f[8]),
+        mapq=_atoi(f[11]),
         tp=tp,
     )
 

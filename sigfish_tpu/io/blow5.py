@@ -43,11 +43,45 @@ HDR_SIZE_OFFSET = 64
 
 # record/signal compression byte encodings
 # ref: slow5lib/src/slow5_press.c:76-148 (record: 0=none,1=zlib,2=zstd;
-# signal: 0=none,1=svb-zd,2=zlib,3=zstd)
+# signal: 0=none,1=svb-zd, plus the hidden dev codes 250=zlib,251=zstd,
+# slow5_press.c:100-148)
 REC_PRESS = {0: "none", 1: "zlib", 2: "zstd"}
-SIG_PRESS = {0: "none", 1: "svb-zd", 2: "zlib", 3: "zstd"}
+SIG_PRESS = {0: "none", 1: "svb-zd", 250: "zlib", 251: "zstd"}
 
 _SVB_SHIFTS = np.array([1, 256, 65536, 16777216], dtype=np.uint32)
+
+# auxiliary-field primitive types: name -> (numpy dtype, size, null sentinel)
+# ref: slow5lib/include/slow5/slow5.h:107-150 (enum slow5_aux_type + the
+# SLOW5_*_NULL missing-value representations), slow5lib/src/slow5.c
+# aux_type_meta table. Arrays append "*" to the type string; SLOW5_STRING
+# is "char*"; enums are uint8_t with labels declared in the header.
+_AUX_PRIM: dict[str, tuple[str, int, object]] = {
+    "int8_t": ("<i1", 1, 127),
+    "int16_t": ("<i2", 2, 32767),
+    "int32_t": ("<i4", 4, 2147483647),
+    "int64_t": ("<i8", 8, 9223372036854775807),
+    "uint8_t": ("<u1", 1, 255),
+    "uint16_t": ("<u2", 2, 65535),
+    "uint32_t": ("<u4", 4, 4294967295),
+    "uint64_t": ("<u8", 8, 18446744073709551615),
+    "float": ("<f4", 4, None),  # NULL = nan, checked with isnan
+    "double": ("<f8", 8, None),
+    "char": ("S1", 1, 0),
+}
+
+
+def _aux_base(type_str: str) -> tuple[str, bool, list[str] | None]:
+    """Split a header type string into (primitive, is_array, enum_labels)."""
+    is_arr = type_str.endswith("*")
+    base = type_str[:-1] if is_arr else type_str
+    labels = None
+    if base.startswith("enum"):
+        # e.g. enum{unknown,partial,complete}
+        lb = base.find("{")
+        if lb != -1 and base.endswith("}"):
+            labels = base[lb + 1 : -1].split(",")
+        base = "uint8_t"
+    return base, is_arr, labels
 
 
 def svb_zd_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -151,6 +185,14 @@ class Slow5Record:
     range: float
     sampling_rate: float
     raw_signal: np.ndarray  # int16
+    # auxiliary fields (channel_number, median_before, ...): populated by
+    # decode_record(with_aux=True); None = not parsed, missing values
+    # inside the dict are None. ref: slow5.c:3084-3184 (binary aux parse)
+    aux: Optional[dict[str, object]] = None
+
+    def aux_get(self, name: str):
+        """Typed aux accessor (~ slow5_aux_get_*). None when missing."""
+        return None if self.aux is None else self.aux.get(name)
 
     @property
     def len_raw_signal(self) -> int:
@@ -188,6 +230,12 @@ def _decode_signal(blob: np.ndarray, method: str) -> np.ndarray:
         return svb_zd_decode(blob)
     if method == "zlib":
         return np.frombuffer(zlib.decompress(blob.tobytes()), dtype="<i2")
+    if method == "zstd":
+        import zstandard
+
+        return np.frombuffer(
+            zstandard.ZstdDecompressor().decompress(blob.tobytes()), dtype="<i2"
+        )
     raise ValueError(f"unknown signal compression {method!r}")
 
 
@@ -245,8 +293,18 @@ class Slow5File:
             (sig_press,) = struct.unpack("<B", fp.read(1))
         else:
             sig_press = 0
-        self.rec_press = REC_PRESS.get(rec_press, "none")
-        self.sig_press = SIG_PRESS.get(sig_press, "none")
+        # unknown press bytes are a hard error (slow5lib maps them to 255
+        # and fails press-init, slow5_press.c:90-96,144-147)
+        if rec_press not in REC_PRESS:
+            raise ValueError(
+                f"{self.path}: unknown record compression method {rec_press}"
+            )
+        if sig_press not in SIG_PRESS:
+            raise ValueError(
+                f"{self.path}: unknown signal compression method {sig_press}"
+            )
+        self.rec_press = REC_PRESS[rec_press]
+        self.sig_press = SIG_PRESS[sig_press]
 
         fp.seek(HDR_SIZE_OFFSET)
         (hdr_size,) = struct.unpack("<I", fp.read(4))
@@ -291,7 +349,9 @@ class Slow5File:
                 vals = parts[1:]
                 for g in range(self.num_read_groups):
                     v = vals[g] if g < len(vals) else ""
-                    self.header_data[g][attr] = v
+                    # "." means missing: stored as empty string, exactly
+                    # like slow5lib (slow5.c:1746-1749)
+                    self.header_data[g][attr] = "" if v == "." else v
             elif line.startswith("#char*") or line.startswith("#" ""):
                 # two aux-meta lines: types then names
                 parts = line[1:].split("\t")
@@ -299,15 +359,15 @@ class Slow5File:
                     self.aux_types = parts[8:]  # after the 8 main columns
                 elif parts and parts[0] == "read_id":
                     self.aux_names = parts[8:]
+        self.aux_meta = list(zip(self.aux_names, self.aux_types))
 
     def header_get(self, attr: str, read_group: int = 0) -> Optional[str]:
-        """ref: slow5_hdr_get (slow5.c). Returns None when missing."""
+        """ref: slow5_hdr_get (slow5.c:1381-1399). Returns None when the
+        attribute is absent; a "." value parses to the empty string
+        (slow5.c:1746-1749)."""
         if read_group >= len(self.header_data):
             return None
-        v = self.header_data[read_group].get(attr)
-        if v == "." or v is None:
-            return v if v is None else v
-        return v
+        return self.header_data[read_group].get(attr)
 
     # ---------------------------------------------------------- records
 
@@ -338,6 +398,15 @@ class Slow5File:
             raise IOError(f"{self.path}: truncated record")
         return blob
 
+    def seek_record(self, file_offset: int, rec_index: int) -> None:
+        """Position the stream at a record boundary (multi-host range
+        split: each host seeks straight to its contiguous record range
+        instead of scanning the whole file). `file_offset` must point at
+        a record's u64 size prefix (binary) or line start (ascii), as
+        recorded by the .idx sidecar (io/blow5_idx.py)."""
+        self._fp.seek(file_offset)
+        self._rec_index = rec_index
+
     def read_batch(
         self,
         max_records: int,
@@ -366,27 +435,30 @@ class Slow5File:
             total += len(blob)
         return out
 
-    def decode_record(self, blob: bytes) -> Slow5Record:
+    def decode_record(self, blob: bytes, with_aux: bool = False) -> Slow5Record:
         """ref: slow5_rec_depress_parse + binary/ascii column parse.
 
         Uses the native (C++) decoder for the common zlib/svb-zd
-        combinations; falls back to the Python path for zstd/ascii."""
+        combinations; falls back to the Python path for zstd/ascii.
+        ``with_aux=True`` additionally parses the auxiliary columns
+        declared in the header (slow5.c:3084-3184) into ``rec.aux``."""
         if self.format == "ascii":
-            return self._decode_ascii(blob)
-        from .. import native
+            return self._decode_ascii(blob, with_aux=with_aux)
+        if not with_aux:
+            from .. import native
 
-        res = native.blow5_decode(blob, self.rec_press, self.sig_press)
-        if res is not None:
-            rid, rg, digi, off_, rng, rate, sig = res
-            return Slow5Record(
-                read_id=rid,
-                read_group=rg,
-                digitisation=digi,
-                offset=off_,
-                range=rng,
-                sampling_rate=rate,
-                raw_signal=sig,
-            )
+            res = native.blow5_decode(blob, self.rec_press, self.sig_press)
+            if res is not None:
+                rid, rg, digi, off_, rng, rate, sig = res
+                return Slow5Record(
+                    read_id=rid,
+                    read_group=rg,
+                    digitisation=digi,
+                    offset=off_,
+                    range=rng,
+                    sampling_rate=rate,
+                    raw_signal=sig,
+                )
         mem = _decompress_record(blob, self.rec_press)
         (rid_len,) = struct.unpack_from("<H", mem, 0)
         off = 2
@@ -406,6 +478,9 @@ class Slow5File:
             nbytes = len_raw  # byte count when signal-compressed (slow5.c:2880)
         sig_blob = np.frombuffer(mem, dtype=np.uint8, count=nbytes, offset=off)
         signal = _decode_signal(sig_blob, self.sig_press)
+        aux = None
+        if with_aux and self.aux_meta:
+            aux = self._parse_aux_binary(mem, off + nbytes)
         return Slow5Record(
             read_id=read_id,
             read_group=read_group,
@@ -414,13 +489,79 @@ class Slow5File:
             range=range_,
             sampling_rate=sampling_rate,
             raw_signal=signal,
+            aux=aux,
         )
 
-    def _decode_ascii(self, blob: bytes) -> Slow5Record:
+    def _parse_aux_binary(self, mem: bytes, off: int) -> dict[str, object]:
+        """ref: slow5_rec_aux_parse binary branch (slow5.c:3084-3184):
+        per aux column in header order, arrays carry a u64 length prefix
+        then len*size bytes; primitives are size bytes with type-specific
+        NULL sentinels (slow5.h:139-150) meaning missing -> None."""
+        aux: dict[str, object] = {}
+        for name, tstr in self.aux_meta:
+            base, is_arr, labels = _aux_base(tstr)
+            if base not in _AUX_PRIM:
+                raise ValueError(f"{self.path}: unknown aux type {tstr!r}")
+            dtype, size, null = _AUX_PRIM[base]
+            if is_arr:
+                if off + 8 > len(mem):
+                    raise IOError(f"{self.path}: aux field {name} missing")
+                (ln,) = struct.unpack_from("<Q", mem, off)
+                off += 8
+                if off + ln * size > len(mem):
+                    raise IOError(f"{self.path}: aux field {name} truncated")
+                if ln == 0:
+                    val: object = None
+                elif base == "char":
+                    val = bytes(mem[off : off + ln]).decode(
+                        "ascii", errors="replace"
+                    )
+                else:
+                    val = np.frombuffer(
+                        mem, dtype=dtype, count=ln, offset=off
+                    ).copy()
+                off += ln * size
+            else:
+                if off + size > len(mem):
+                    raise IOError(f"{self.path}: aux field {name} missing")
+                v = np.frombuffer(mem, dtype=dtype, count=1, offset=off)[0]
+                off += size
+                if base in ("float", "double"):
+                    val = None if np.isnan(v) else float(v)
+                elif base == "char":
+                    val = None if v == b"\x00" else v.decode("ascii")
+                else:
+                    iv = int(v)
+                    val = None if iv == null else iv
+                    if val is not None and labels:
+                        val = iv  # enum: expose the raw code (slow5_aux_get_enum)
+            aux[name] = val
+        return aux
+
+    def _decode_ascii(self, blob: bytes, with_aux: bool = False) -> Slow5Record:
         cols = blob.decode("ascii").split("\t")
         signal = np.array(
             [int(x) for x in cols[7].split(",")] if cols[7] else [], dtype=np.int16
         )
+        aux = None
+        if with_aux and self.aux_meta:
+            aux = {}
+            for k, (name, tstr) in enumerate(self.aux_meta):
+                tok = cols[8 + k] if 8 + k < len(cols) else "."
+                base, is_arr, labels = _aux_base(tstr)
+                dtype, _, _ = _AUX_PRIM.get(base, ("<u1", 1, 255))
+                if tok == ".":
+                    aux[name] = None
+                elif is_arr and base == "char":
+                    aux[name] = tok
+                elif is_arr:
+                    aux[name] = np.array(tok.split(","), dtype=dtype)
+                elif base in ("float", "double"):
+                    aux[name] = float(tok)
+                elif base == "char":
+                    aux[name] = tok
+                else:
+                    aux[name] = int(tok)
         return Slow5Record(
             read_id=cols[0],
             read_group=int(cols[1]),
@@ -429,6 +570,7 @@ class Slow5File:
             range=float(cols[4]),
             sampling_rate=float(cols[5]),
             raw_signal=signal,
+            aux=aux,
         )
 
     def decode_batch(self, blobs: list[bytes]) -> list[Slow5Record]:
@@ -520,6 +662,7 @@ class Slow5Writer:
         rec_press: str = "zlib",
         sig_press: str = "svb-zd",
         fmt: str | None = None,
+        aux_meta: list[tuple[str, str]] | None = None,
     ):
         self.path = os.fspath(path)
         if fmt is None:
@@ -529,6 +672,9 @@ class Slow5Writer:
         self.rec_press = rec_press if fmt == "binary" else "none"
         self.sig_press = sig_press if fmt == "binary" else "none"
         self.header_data = header_data or [{}]
+        # aux columns: list of (name, type_str) pairs after the 8 main
+        # columns, e.g. [("channel_number","char*"),("median_before","double")]
+        self.aux_meta = aux_meta or []
         if fmt == "binary":
             self._write_header()
         else:
@@ -539,15 +685,23 @@ class Slow5Writer:
         w(b"#slow5_version\t0.2.0\n")
         w(f"#num_read_groups\t{len(self.header_data)}\n".encode())
         for a in sorted({k for g in self.header_data for k in g}):
-            vals = "\t".join(g.get(a, ".") for g in self.header_data)
+            # empty/missing values serialize as "." (slow5.c:1069-1093)
+            vals = "\t".join(g.get(a) or "." for g in self.header_data)
             w(f"@{a}\t{vals}\n".encode())
-        w(
-            b"#char*\tuint32_t\tdouble\tdouble\tdouble\tdouble\tuint64_t\tint16_t*\n"
-        )
-        w(
-            b"#read_id\tread_group\tdigitisation\toffset\trange\t"
-            b"sampling_rate\tlen_raw_signal\traw_signal\n"
-        )
+        w(("\t".join(self._type_cols()) + "\n").encode())
+        w(("\t".join(self._name_cols()) + "\n").encode())
+
+    def _type_cols(self) -> list[str]:
+        return [
+            "#char*", "uint32_t", "double", "double", "double", "double",
+            "uint64_t", "int16_t*",
+        ] + [t for _, t in self.aux_meta]
+
+    def _name_cols(self) -> list[str]:
+        return [
+            "#read_id", "read_group", "digitisation", "offset", "range",
+            "sampling_rate", "len_raw_signal", "raw_signal",
+        ] + [n for n, _ in self.aux_meta]
 
     def _write_header(self) -> None:
         fp = self._fp
@@ -562,18 +716,55 @@ class Slow5Writer:
         attrs = sorted({k for g in self.header_data for k in g})
         lines = []
         for a in attrs:
-            vals = "\t".join(g.get(a, ".") for g in self.header_data)
+            vals = "\t".join(g.get(a) or "." for g in self.header_data)
             lines.append(f"@{a}\t{vals}")
-        lines.append(
-            "#char*\tuint32_t\tdouble\tdouble\tdouble\tdouble\tuint64_t\tint16_t*"
-        )
-        lines.append(
-            "#read_id\tread_group\tdigitisation\toffset\trange\t"
-            "sampling_rate\tlen_raw_signal\traw_signal"
-        )
+        lines.append("\t".join(self._type_cols()))
+        lines.append("\t".join(self._name_cols()))
         text = ("\n".join(lines) + "\n").encode("ascii")
         fp.write(struct.pack("<I", len(text)))
         fp.write(text)
+
+    def _aux_ascii(self, rec: Slow5Record) -> str:
+        cols = []
+        for name, tstr in self.aux_meta:
+            v = rec.aux.get(name) if rec.aux else None
+            base, is_arr, _ = _aux_base(tstr)
+            if v is None:
+                cols.append(".")
+            elif is_arr and base == "char":
+                cols.append(str(v))
+            elif is_arr:
+                cols.append(",".join(str(x) for x in np.asarray(v).tolist()))
+            elif base in ("float", "double"):
+                cols.append(f"{float(v):.17g}")
+            else:
+                cols.append(str(v))
+        return ("\t" + "\t".join(cols)) if cols else ""
+
+    def _aux_binary(self, rec: Slow5Record) -> bytes:
+        out = bytearray()
+        for name, tstr in self.aux_meta:
+            v = rec.aux.get(name) if rec.aux else None
+            base, is_arr, _ = _aux_base(tstr)
+            dtype, size, null = _AUX_PRIM[base]
+            if is_arr:
+                if v is None:
+                    out += struct.pack("<Q", 0)
+                elif base == "char":
+                    b = str(v).encode("ascii")
+                    out += struct.pack("<Q", len(b)) + b
+                else:
+                    a = np.asarray(v, dtype=dtype)
+                    out += struct.pack("<Q", a.size) + a.tobytes()
+            elif base in ("float", "double"):
+                out += np.array(
+                    [float("nan") if v is None else float(v)], dtype=dtype
+                ).tobytes()
+            elif base == "char":
+                out += b"\x00" if v is None else str(v).encode("ascii")[:1]
+            else:
+                out += np.array([null if v is None else int(v)], dtype=dtype).tobytes()
+        return bytes(out)
 
     def write_record(self, rec: Slow5Record) -> None:
         if self.fmt == "ascii":
@@ -582,7 +773,7 @@ class Slow5Writer:
                 (
                     f"{rec.read_id}\t{rec.read_group}\t{rec.digitisation:.17g}\t"
                     f"{rec.offset:.17g}\t{rec.range:.17g}\t{rec.sampling_rate:.17g}\t"
-                    f"{rec.len_raw_signal}\t{sig}\n"
+                    f"{rec.len_raw_signal}\t{sig}{self._aux_ascii(rec)}\n"
                 ).encode("ascii")
             )
             return
@@ -598,9 +789,22 @@ class Slow5Writer:
             sig = np.asarray(rec.raw_signal, dtype="<i2").tobytes()
             body += struct.pack("<Q", rec.len_raw_signal)
         else:
-            sig = svb_zd_encode(rec.raw_signal)
+            if self.sig_press == "svb-zd":
+                sig = svb_zd_encode(rec.raw_signal)
+            elif self.sig_press == "zlib":  # dev code 250 (slow5_press.c:110)
+                sig = zlib.compress(np.asarray(rec.raw_signal, dtype="<i2").tobytes())
+            elif self.sig_press == "zstd":  # dev code 251
+                import zstandard
+
+                sig = zstandard.ZstdCompressor().compress(
+                    np.asarray(rec.raw_signal, dtype="<i2").tobytes()
+                )
+            else:
+                raise ValueError(f"unknown signal compression {self.sig_press!r}")
             body += struct.pack("<Q", len(sig))  # byte count (slow5.c:2880)
         body += sig
+        if self.aux_meta:
+            body += self._aux_binary(rec)
         blob = bytes(body)
         if self.rec_press == "zlib":
             blob = zlib.compress(blob)

@@ -270,31 +270,42 @@ def jnnv2(sig_i16: np.ndarray, window: int, std_scale: float,
 
 
 def jnn_segments(t: np.ndarray, bot: float, seg_dist: int):
-    """Below-threshold segment extraction (adaptor finder inner loop)."""
+    """Below-threshold segment extraction (adaptor finder inner loop).
+
+    The C side returns -1 when the segment buffer is too small; retry
+    with a doubled cap (mirrors the reference's realloc, jnn.c:141-145).
+    """
     lib = _load()
     if lib is None:
         return None
     t = np.ascontiguousarray(t, np.float64)
     cap = 4096
-    out = np.empty(2 * cap, np.int64)
-    n = lib.sf_jnn_segments(t, t.size, float(bot), int(seg_dist), out, cap)
-    return out[: 2 * n].reshape(-1, 2)
+    while True:
+        out = np.empty(2 * cap, np.int64)
+        n = lib.sf_jnn_segments(t, t.size, float(bot), int(seg_dist), out, cap)
+        if n >= 0:
+            return out[: 2 * n].reshape(-1, 2)
+        cap *= 2
 
 
 def jnn_core_segments(sig: np.ndarray, top: float, bot: float, corrector: int,
                       seg_dist: int, window: int, stall_len: float, error: int):
-    """Error-tolerant in-range run detector (jnn.c:191-279)."""
+    """Error-tolerant in-range run detector (jnn.c:191-279). Grows the
+    segment buffer on overflow (C side returns -1)."""
     lib = _load()
     if lib is None:
         return None
     sig = np.ascontiguousarray(sig, np.float64)
     cap = 4096
-    out = np.empty(2 * cap, np.int64)
-    n = lib.sf_jnn_core(
-        sig, sig.size, float(top), float(bot), int(corrector),
-        int(seg_dist), int(window), float(stall_len), int(error), out, cap,
-    )
-    return out[: 2 * n].reshape(-1, 2)
+    while True:
+        out = np.empty(2 * cap, np.int64)
+        n = lib.sf_jnn_core(
+            sig, sig.size, float(top), float(bot), int(corrector),
+            int(seg_dist), int(window), float(stall_len), int(error), out, cap,
+        )
+        if n >= 0:
+            return out[: 2 * n].reshape(-1, 2)
+        cap *= 2
 
 
 def detect_events(signal_pa: np.ndarray, rna: bool = False):

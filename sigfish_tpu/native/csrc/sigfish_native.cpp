@@ -725,25 +725,29 @@ void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
 }
 
 // Segment extractor over a below-threshold mask of the rolling-mean
-// trace (adaptor finder inner loop). Exact port of ops/jnn.py:91-108 /
-// jnn.c:100-180 (merge segments closer than seg_dist).
-// out holds (start, end) pairs; returns segment count (capped).
+// trace (adaptor finder inner loop). Exact port of jnn.c:126-152 (merge
+// segments closer than seg_dist; the close condition is the strict
+// `i > bot && begin` -- exact-equality samples leave the segment open).
+// out holds (start, end) pairs; returns segment count, or -1 when cap
+// is too small (caller retries with a larger buffer, mirroring the
+// reference's realloc growth at jnn.c:141-145).
 int64_t sf_jnn_segments(const double* t, int64_t n, double bot,
                         int64_t seg_dist, int64_t* out, int64_t cap) {
     int64_t nseg = 0;
     bool begin = false;
     int64_t start = 0, end = 0;
     for (int64_t j = 0; j < n; j++) {
-        bool below = t[j] < bot;
-        if (below && !begin) {
+        double v = t[j];
+        if (v < bot && !begin) {
             start = j;
             begin = true;
-        } else if (below) {
+        } else if (v < bot) {
             end = j;
-        } else if (begin) {
+        } else if (v > bot && begin) {
             if (nseg > 0 && start - out[2 * (nseg - 1) + 1] < seg_dist) {
                 out[2 * (nseg - 1) + 1] = end;
-            } else if (nseg < cap) {
+            } else {
+                if (nseg >= cap) return -1;
                 out[2 * nseg] = start;
                 out[2 * nseg + 1] = end;
                 nseg++;
@@ -791,7 +795,8 @@ int64_t sf_jnn_core(const double* sig, int64_t n, double top, double bot,
                 prev = false;
                 if (nseg > 0 && start - out[2 * (nseg - 1) + 1] < seg_dist) {
                     out[2 * (nseg - 1) + 1] = end;
-                } else if (nseg < cap) {
+                } else {
+                    if (nseg >= cap) return -1;  // caller retries larger
                     out[2 * nseg] = start;
                     out[2 * nseg + 1] = end;
                     nseg++;

@@ -103,7 +103,8 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
         segs = [[int(a), int(b)] for a, b in nat_segs]
     else:
         below = t < bot
-        segs = []
+        above = t > bot  # jnn.c:136 closes on the STRICT i > bot test;
+        segs = []        # exact-equality samples leave the segment open
         begin = False
         start = 0
         end = 0
@@ -113,7 +114,7 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
                 begin = True
             elif below[j]:
                 end = j
-            elif begin:
+            elif above[j] and begin:
                 if segs and start - segs[-1][1] < param.seg_dist:
                     segs[-1][1] = end
                 else:

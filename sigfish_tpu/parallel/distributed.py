@@ -1,0 +1,182 @@
+"""Multi-host distributed runtime: jax.distributed + per-host BLOW5
+record ranges + deterministic ordered PAF emission.
+
+The reference's only scale layer is a single-process pthread pool
+(ref: src/thread.c:119 work_db); this module is the TPU-native
+replacement (SURVEY §2.3/§7-step-7): N independent host processes form a
+jax.distributed cluster, each maps a *contiguous, byte-balanced* range
+of the BLOW5 records on its local devices (reads are data-parallel; the
+synthesized reference tracks are replicated per host -- they are tiny,
+SURVEY §5), and host 0 emits the merged PAF/SAM.
+
+Because the ranges are contiguous and in file order, the merged output
+(host 0's lines, then host 1's, ...) is byte-identical to a
+single-process run -- no interleave bookkeeping, no nondeterminism.
+The end-of-run gather goes through the jax.distributed coordination
+service's key-value store, so it needs no shared filesystem and no
+cross-host XLA collectives (the per-read pipeline itself has none when
+tracks are replicated: the dp axis across hosts is embarrassingly
+parallel, exactly like the reference's per-read work items).
+
+Record ranges come from one index pass (io/blow5_idx.py, cached as the
+binary-compatible ``.idx`` sidecar): each host seeks straight to its
+range start instead of scanning the file.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass
+
+
+@dataclass
+class HostRange:
+    """Contiguous record range [rec_start, rec_start+n_records) with the
+    file offset of the first record (for Slow5File.seek_record)."""
+
+    rec_start: int
+    n_records: int
+    file_offset: int
+
+
+def init_distributed(
+    coordinator: str, num_processes: int, process_id: int
+) -> None:
+    """Join the jax.distributed cluster (idempotent).
+
+    coordinator: "host:port" of process 0. All processes must call this
+    before any other JAX API touches the backend.
+    """
+    import jax
+
+    if num_processes <= 1:
+        return
+    # idempotence check must NOT touch the backend (jax.process_count()
+    # would initialize it, defeating the purpose) -- peek at the
+    # coordination-service client instead
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def _kv_client():
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        raise RuntimeError(
+            "jax.distributed is not initialized; call init_distributed first"
+        )
+    return client
+
+
+def compute_host_ranges(sf, n_hosts: int) -> list[HostRange]:
+    """Byte-balanced contiguous split of a Slow5File's records.
+
+    One index pass (reusing/creating the .idx sidecar); split points are
+    chosen so every host's byte total approximates total/n_hosts, like
+    the reference's -B batching balances by bytes (sigfish.c:283-301).
+    """
+    idx = sf.index_load()
+    entries = sorted(
+        (idx.get(rid) for rid in idx.ids()), key=lambda e: e[0]
+    )  # (offset, size) in file order
+    n = len(entries)
+    total = sum(sz for _, sz in entries)
+    ranges: list[HostRange] = []
+    start = 0
+    cum = 0
+    for h in range(n_hosts):
+        target = total * (h + 1) / n_hosts
+        end = start
+        while end < n and (h == n_hosts - 1 or cum + entries[end][1] <= target
+                           or end == start):
+            cum += entries[end][1]
+            end += 1
+        ranges.append(
+            HostRange(
+                rec_start=start,
+                n_records=end - start,
+                file_offset=entries[start][0] if start < n else 0,
+            )
+        )
+        start = end
+    return ranges
+
+
+_GATHER_PREFIX = "sigfish_tpu/gather"
+_gather_round = [0]
+
+
+def gather_ordered(data: bytes, process_id: int, num_processes: int,
+                   timeout_ms: int = 600_000) -> bytes | None:
+    """All hosts contribute bytes; host 0 returns them concatenated in
+    host order, others return None.
+
+    Uses the coordination-service KV store (no shared FS, no XLA
+    collectives), chunked to stay well under gRPC message limits.
+    """
+    client = _kv_client()
+    rnd = _gather_round[0]
+    _gather_round[0] += 1
+    chunk = 2 * 1024 * 1024  # pre-base64 chunk size
+    nchunks = (len(data) + chunk - 1) // chunk if data else 0
+    client.key_value_set(
+        f"{_GATHER_PREFIX}/{rnd}/{process_id}/nchunks", str(nchunks)
+    )
+    for c in range(nchunks):
+        blob = data[c * chunk : (c + 1) * chunk]
+        client.key_value_set(
+            f"{_GATHER_PREFIX}/{rnd}/{process_id}/{c}",
+            base64.b64encode(blob).decode("ascii"),
+        )
+    if process_id != 0:
+        # wait until host 0 confirms the merge so the KV entries stay
+        # alive long enough
+        client.blocking_key_value_get(
+            f"{_GATHER_PREFIX}/{rnd}/done", timeout_ms
+        )
+        return None
+    parts: list[bytes] = []
+    for h in range(num_processes):
+        nc = int(
+            client.blocking_key_value_get(
+                f"{_GATHER_PREFIX}/{rnd}/{h}/nchunks", timeout_ms
+            )
+        )
+        for c in range(nc):
+            parts.append(
+                base64.b64decode(
+                    client.blocking_key_value_get(
+                        f"{_GATHER_PREFIX}/{rnd}/{h}/{c}", timeout_ms
+                    )
+                )
+            )
+    client.key_value_set(f"{_GATHER_PREFIX}/{rnd}/done", "1")
+    return b"".join(parts)
+
+
+def gather_counters(
+    counters: dict[str, int], process_id: int, num_processes: int
+) -> dict[str, int] | None:
+    """Sum integer counters across hosts; host 0 gets the totals,
+    other hosts get None. Newline-framed so the concatenated gather
+    splits cleanly per host."""
+    payload = (
+        ",".join(f"{k}={v}" for k, v in sorted(counters.items())) + "\n"
+    )
+    merged = gather_ordered(payload.encode(), process_id, num_processes)
+    if merged is None:
+        return None
+    totals = dict.fromkeys(counters, 0)
+    for host_line in merged.decode().splitlines():
+        for kv in host_line.split(","):
+            if kv:
+                k, v = kv.split("=")
+                totals[k] = totals.get(k, 0) + int(v)
+    return totals

@@ -88,6 +88,9 @@ class Options:
     mesh: str | None = None  # "DPxTP" device mesh, e.g. "4x2"; None = 1 device
     shard_id: int = 0   # multi-host record stripe I of N
     n_shards: int = 1
+    # multi-host contiguous record range: stop after this many records
+    # (the host seeked to its range start via Slow5File.seek_record)
+    rec_limit: int | None = None
 
 
 @dataclass
@@ -1035,12 +1038,21 @@ def run_dtw(core: Core, out_fp) -> None:
 
     pending: PendingBatch | None = None
     done = False
+    consumed = 0
     while not done:
         t0 = time.time()
-        blobs = core.sf.read_batch(
-            opt.batch_size, opt.batch_size_bytes,
-            shard_id=opt.shard_id, n_shards=opt.n_shards,
+        max_recs = opt.batch_size
+        if opt.rec_limit is not None:
+            max_recs = min(max_recs, opt.rec_limit - consumed)
+        blobs = (
+            core.sf.read_batch(
+                max_recs, opt.batch_size_bytes,
+                shard_id=opt.shard_id, n_shards=opt.n_shards,
+            )
+            if max_recs > 0
+            else []
         )
+        consumed += len(blobs)
         core.load_db_time += time.time() - t0
         new_pending = None
         if blobs:

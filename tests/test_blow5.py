@@ -255,3 +255,115 @@ def test_native_decode_random_roundtrip(tmp_path):
     with Slow5File(p) as sf:
         for i, rec in enumerate(sf):
             np.testing.assert_array_equal(rec.raw_signal, sigs[i])
+
+
+def _mkrec(i, sig, **kw):
+    from sigfish_tpu.io.blow5 import Slow5Record
+
+    return Slow5Record(
+        read_id=f"r{i}", read_group=0, digitisation=8192.0, offset=3.0,
+        range=1400.0, sampling_rate=4000.0,
+        raw_signal=np.asarray(sig, dtype=np.int16), **kw,
+    )
+
+
+AUX_META = [
+    ("start_time", "uint64_t"),
+    ("read_number", "int32_t"),
+    ("start_mux", "uint8_t"),
+    ("median_before", "double"),
+    ("end_reason", "enum{unknown,partial,mux_change}"),
+    ("channel_number", "char*"),
+    ("extra_levels", "float*"),
+]
+
+
+@pytest.mark.parametrize("fmt,ext", [("binary", "blow5"), ("ascii", "slow5")])
+def test_aux_roundtrip(tmp_path, fmt, ext):
+    """Aux columns write + parse back (ref slow5.c:3084-3184): typed
+    primitives, NULL sentinels for missing, strings and float arrays."""
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    p = str(tmp_path / f"aux.{ext}")
+    aux_full = {
+        "start_time": 34915692,
+        "read_number": 11649,
+        "start_mux": 1,
+        "median_before": 201.48167419433594,
+        "end_reason": 2,
+        "channel_number": "238",
+        "extra_levels": np.array([1.5, -2.25], dtype=np.float32),
+    }
+    aux_missing = {k: None for k in aux_full}
+    with Slow5Writer(p, header_data=[{"run_id": "x"}], aux_meta=AUX_META) as w:
+        w.write_record(_mkrec(0, [1, 2, 3], aux=aux_full))
+        w.write_record(_mkrec(1, [4, 5], aux=aux_missing))
+        w.write_record(_mkrec(2, [6]))  # rec.aux is None -> all missing
+    with Slow5File(p) as sf:
+        assert sf.aux_meta == AUX_META
+        blobs = [sf.read_next_blob() for _ in range(3)]
+        r0 = sf.decode_record(blobs[0], with_aux=True)
+        assert r0.aux_get("start_time") == 34915692
+        assert r0.aux_get("read_number") == 11649
+        assert r0.aux_get("start_mux") == 1
+        assert r0.aux_get("median_before") == 201.48167419433594
+        assert r0.aux_get("end_reason") == 2
+        assert r0.aux_get("channel_number") == "238"
+        np.testing.assert_array_equal(
+            r0.aux_get("extra_levels"), np.array([1.5, -2.25], dtype=np.float32)
+        )
+        for b in blobs[1:]:
+            r = sf.decode_record(b, with_aux=True)
+            assert all(v is None for v in r.aux.values()), r.aux
+            # and the fast path (no aux) still decodes the signal
+            assert sf.decode_record(b).aux is None
+
+
+def test_aux_real_reference_file():
+    """The in-repo sp1 file carries the 6 standard aux fields."""
+    with Slow5File("/root/reference/test/sp1_dna.blow5") as sf:
+        names = [n for n, _ in sf.aux_meta]
+        assert {"channel_number", "median_before", "read_number",
+                "start_mux", "start_time"} <= set(names)
+        rec = sf.decode_record(sf.read_next_blob(), with_aux=True)
+        assert rec.aux_get("channel_number") == "238"
+        assert rec.aux_get("start_mux") == 1
+        assert isinstance(rec.aux_get("median_before"), float)
+
+
+def test_signal_press_dev_codes(tmp_path):
+    """Signal-press bytes 250 (zlib) / 251 (zstd) are slow5lib hidden dev
+    codes (slow5_press.c:100-148); unknown bytes must error cleanly."""
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    sig = np.arange(-500, 500, dtype=np.int16)
+    p = str(tmp_path / "sigzlib.blow5")
+    with Slow5Writer(p, sig_press="zlib") as w:
+        w.write_record(_mkrec(0, sig))
+    raw = bytearray(open(p, "rb").read())
+    assert raw[14] == 250  # signal-press byte position in the fixed header
+    with Slow5File(p) as sf:
+        assert sf.sig_press == "zlib"
+        np.testing.assert_array_equal(next(iter(sf)).raw_signal, sig)
+
+    # unknown signal-press byte -> hard error, never a garbage decode
+    raw[14] = 77
+    bad = tmp_path / "bad.blow5"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="signal compression"):
+        Slow5File(str(bad))
+
+
+def test_header_missing_dot_semantics(tmp_path):
+    """'.' header values parse to empty string exactly like slow5lib
+    (slow5.c:1746-1749) and serialize back to '.'."""
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    p = str(tmp_path / "dot.blow5")
+    with Slow5Writer(p, header_data=[{"asic_id": "42", "exp": ""}]) as w:
+        w.write_record(_mkrec(0, [1, 2]))
+    with Slow5File(p) as sf:
+        assert sf.header_get("asic_id") == "42"
+        assert sf.header_get("exp") == ""          # "." -> empty string
+        assert sf.header_get("nonexistent") is None  # absent -> None
+        assert sf.header_get("asic_id", read_group=5) is None

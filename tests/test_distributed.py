@@ -1,0 +1,87 @@
+"""Multi-host distributed runtime: N separate processes forming a
+jax.distributed cluster must reproduce the single-process output
+byte-for-byte (ref: the reference's scale layer is thread.c:119; the
+TPU-native replacement is jax.distributed + contiguous per-host record
+ranges + host-0 ordered emission, SURVEY §2.3/§7-step-7)."""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+FA = "/root/reference/test/nCoV-2019.reference.fasta"
+BL = "/root/reference/test/sp1_dna.blow5"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env() -> dict[str, str]:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SIGFISH_TPU_NO_XLA_CACHE"] = "1"
+    env.pop("XLA_FLAGS", None)  # plain 1-device CPU per process
+    return env
+
+
+def _run_cluster(n_hosts: int, tmp_path, extra: list[str]) -> str:
+    port = _free_port()
+    procs = []
+    outs = [str(tmp_path / f"h{i}.paf") for i in range(n_hosts)]
+    for i in range(n_hosts):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "sigfish_tpu.cli", "dtw", FA, BL,
+                    "--hosts", str(n_hosts), "--host-id", str(i),
+                    "--coordinator", f"localhost:{port}", "-o", outs[i],
+                ]
+                + extra,
+                env=_env(),
+                stderr=subprocess.PIPE,
+                cwd="/root/repo",
+            )
+        )
+    for i, p in enumerate(procs):
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-2000:]}"
+    # hosts 1..N-1 emit nothing; host 0 emits the ordered merge
+    for i in range(1, n_hosts):
+        assert os.path.getsize(outs[i]) == 0
+    return open(outs[0]).read()
+
+
+def _run_single(tmp_path, extra: list[str]) -> str:
+    out = str(tmp_path / "single.paf")
+    r = subprocess.run(
+        [sys.executable, "-m", "sigfish_tpu.cli", "dtw", FA, BL, "-o", out]
+        + extra,
+        env=_env(),
+        capture_output=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return open(out).read()
+
+
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_multiprocess_merge_byte_identical(tmp_path, n_hosts):
+    single = _run_single(tmp_path, [])
+    merged = _run_cluster(n_hosts, tmp_path, [])
+    assert merged == single
+    assert len(merged.splitlines()) == 5
+
+
+def test_multiprocess_sam_header_once(tmp_path):
+    single = _run_single(tmp_path, ["--sam"])
+    merged = _run_cluster(2, tmp_path, ["--sam"])
+    assert merged == single
+    assert merged.count("@PG") == 1

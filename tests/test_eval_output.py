@@ -75,3 +75,34 @@ def test_paf_line_format():
     assert f[12] == "tp:A:P"
     assert f[13] == "d1:f:84.81"
     assert f[14] == "d2:f:89.59"
+
+
+def test_eval_atoi_tolerant_parsing(tmp_path):
+    """C atoi semantics (parse_paf_rec eval.c:80-152): float coordinates
+    and trailing junk are truncated to their digit prefix, not errors."""
+    from sigfish_tpu.eval import eval_main, parse_paf_rec
+
+    line = "r1\t100.7\t5junk\t20\t+\tctg\t1000\t50.5\t90xx\t10\t40\t60\ttp:A:P"
+    rec = parse_paf_rec(line)
+    assert (rec.qlen, rec.query_start, rec.query_end) == (100, 5, 20)
+    assert (rec.target_start, rec.target_end, rec.mapq) == (50, 90, 60)
+
+    truth = tmp_path / "t.paf"
+    test = tmp_path / "b.paf"
+    truth.write_text("r1\t100\t5\t20\t+\tctg\t1000\t50\t90\t10\t40\t60\ttp:A:P\n")
+    test.write_text(line + "\n")
+    import io
+
+    out = io.StringIO()
+    stat = eval_main(str(truth), str(test), out=out)
+    assert stat.correct == 1 and stat.incorrect == 0
+
+
+def test_eval_strtok_collapses_empty_fields():
+    """strtok(.., "\\t\\r\\n") skips runs of delimiters -- double tabs must
+    not shift the column mapping the way str.split would."""
+    from sigfish_tpu.eval import parse_paf_rec
+
+    line = "r1\t\t100\t5\t20\t+\tctg\t1000\t50\t90\t10\t40\t60"
+    rec = parse_paf_rec(line)
+    assert rec.qlen == 100 and rec.mapq == 60

@@ -198,3 +198,36 @@ def test_ring_wavefront_matches_single_kernel():
                   jnp.asarray(reset), ckpt=64)  # 64 divides R_real
     )
     np.testing.assert_allclose(lr_ring[:, :R_real], lr_scan, rtol=1e-5, atol=1e-4)
+
+
+def test_shard_striping_reproduces_full_run(tmp_path):
+    """--shard I/N maps record stripe I (global index mod N); the N
+    per-shard outputs together must be exactly the full run's mapping
+    set, with each shard's lines in file order (ref: load_db record
+    order, sigfish.c:274-305).
+    """
+    from sigfish_tpu.cli import dtw_main
+
+    fa = "/root/reference/test/nCoV-2019.reference.fasta"
+    bl = "/root/reference/test/sp1_dna.blow5"
+
+    def run(extra, name):
+        out = str(tmp_path / name)
+        rc = dtw_main([fa, bl, "-o", out] + extra)
+        assert rc == 0
+        return open(out).read().splitlines(keepends=True)
+
+    full = run([], "full.paf")
+    assert len(full) == 5
+    for n_shards in (2, 3):
+        parts = [
+            run(["--shard", f"{i}/{n_shards}"], f"s{i}_{n_shards}.paf")
+            for i in range(n_shards)
+        ]
+        # stripe i holds records with global index % n_shards == i, in order
+        expect = [
+            [ln for j, ln in enumerate(full) if j % n_shards == i]
+            for i in range(n_shards)
+        ]
+        assert parts == expect
+        assert sorted(ln for p in parts for ln in p) == sorted(full)

@@ -90,4 +90,6 @@ def test_mapq():
     assert compute_mapq(100.0, 100.0) == 0
     assert compute_mapq(100.0, 103.0) == 15
     assert compute_mapq(1.0, 100.0) == 60
-    assert compute_mapq(50.0, float("inf")) == 60
+    # d2=inf: (int)round(inf) -> INT_MIN -> uint8 store wraps to 0
+    # (sigfish.c:979 + sigfish.h:153; oracle-verified rna_d2inf case)
+    assert compute_mapq(50.0, float("inf")) == 0
