@@ -26,19 +26,25 @@ import time
 
 REF_FASTA = "/root/reference/test/nCoV-2019.reference.fasta"
 REF_BLOW5 = "/root/reference/test/sp1_dna.blow5"
+RNA_FASTA = "/root/reference/test/rnasequin_sequences_2.4.fa"
+RNA_BLOW5 = "/root/reference/test/sequin_rna.blow5"
 BASELINE_READS_PER_S = 25.8  # C sigfish -t 8, this host (see module docstring)
+# C sigfish --rna -q 500 -p -1 on the 200-read replicated sequin set,
+# this host: 200 reads / 31.2 s (measured idle 2026-08-17)
+RNA_BASELINE_READS_PER_S = 6.4
 N_COPIES = 600  # 5 reads x 600 = 3000 reads
+RNA_N_COPIES = 192  # 8 reads x 192 = 1536 reads (3 batches of 512)
 
 
-def build_workload(path: str) -> int:
+def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIES) -> int:
     from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
 
-    src = Slow5File(REF_BLOW5)
+    src = Slow5File(src_path)
     recs = list(src)
     hdr = src.header_data
     src.close()
     with Slow5Writer(path, header_data=hdr) as w:
-        for i in range(N_COPIES):
+        for i in range(n_copies):
             for r in recs:
                 w.write_record(
                     Slow5Record(
@@ -51,7 +57,7 @@ def build_workload(path: str) -> int:
                         raw_signal=r.raw_signal,
                     )
                 )
-    return len(recs) * N_COPIES
+    return len(recs) * n_copies
 
 
 def main() -> None:
@@ -82,19 +88,46 @@ def main() -> None:
             dt = time.time() - t0
             rps = max(rps, core.total_reads / dt)
             core.close()
-        print(
-            json.dumps(
-                {
-                    "metric": "dna_reads_per_s_1chip",
-                    "value": round(rps, 1),
-                    "unit": "reads/s",
-                    "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
-                }
-            )
-        )
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+    # RNA: the harder workload (160 tracks, R=156k events, polyA
+    # autodetect) -- test.sh:61-71's case at steady-state scale
+    tmp = tempfile.mktemp(suffix=".blow5")
+    try:
+        build_workload(tmp, RNA_BLOW5, RNA_N_COPIES)
+        ropt = Options(rna=True, query_size=500, prefix_size=-1)
+        core = Core(RNA_FASTA, tmp, ropt)
+        blobs = core.sf.read_batch(ropt.batch_size, ropt.batch_size_bytes)
+        process_batch(core, blobs)  # warmup: compile + axon first touch
+        core.close()
+        rna_rps = 0.0
+        for _ in range(2):
+            core = Core(RNA_FASTA, tmp, Options(rna=True, query_size=500, prefix_size=-1))
+            t0 = time.time()
+            sink = io.StringIO()
+            run_dtw(core, sink)
+            dt = time.time() - t0
+            rna_rps = max(rna_rps, core.total_reads / dt)
+            core.close()
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dna_reads_per_s_1chip",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
+                "rna_reads_per_s_1chip": round(rna_rps, 1),
+                "rna_vs_baseline": round(rna_rps / RNA_BASELINE_READS_PER_S, 2),
+                "rna_baseline_c_reads_per_s": RNA_BASELINE_READS_PER_S,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ def _seg_combine(a, b):
     return fa | fb, m, i
 
 
-@partial(jax.jit, static_argnames=("R", "k", "reindex"))
+@partial(jax.jit, static_argnames=("R", "k", "reindex", "pack"))
 def device_topk_candidates(
     scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, R) last row
     qlens: jnp.ndarray,    # (B,) i32
@@ -76,9 +76,17 @@ def device_topk_candidates(
     R: int,
     k: int = 5,
     reindex: bool = True,
+    pack: bool = False,
 ):
     """Returns (top_scores (B, k) f32 best-first, top_pos (B, k) i32 global
-    concat-column argmin positions; empty slots have score BIG and pos -1."""
+    concat-column argmin positions; empty slots have score BIG and pos -1).
+
+    Unlike :func:`device_window_top5` (static W-wide windows, the
+    full-length fast path) this handles per-read window widths via a
+    segmented scan -- it is the device path for CLIPPED reads
+    (qlen != W, ref sigfish.c:457-461 short-read semantics), replacing
+    the O(R*qlen) per-read host recompute. With pack=True returns one
+    (B, 2k) f32 buffer (positions bitcast; see unpack_top5)."""
     B = scores.shape[0]
     j = jnp.arange(R, dtype=jnp.int32)
     if reindex:
@@ -114,7 +122,14 @@ def device_topk_candidates(
         top_s.append(sc)
         top_p.append(am)
         wm = wm.at[rows, pick].set(BIG)
-    return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
+    ts = jnp.stack(top_s, axis=1)
+    tp = jnp.stack(top_p, axis=1)
+    if pack:
+        return jnp.concatenate(
+            [ts, jax.lax.bitcast_convert_type(tp.astype(jnp.int32), jnp.float32)],
+            axis=1,
+        )
+    return ts, tp
 
 
 @partial(jax.jit, static_argnames=("R", "W", "k", "reindex", "pack"))

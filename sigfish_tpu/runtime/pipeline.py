@@ -48,7 +48,12 @@ from ..models.pore_model import (
 )
 from ..ops import jnn
 from ..ops.candidates import compute_mapq, rank_candidates, window_argmin
-from ..ops.candidates_dev import build_column_maps, device_window_top5, unpack_top5
+from ..ops.candidates_dev import (
+    build_column_maps,
+    device_topk_candidates,
+    device_window_top5,
+    unpack_top5,
+)
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
 from ..ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
@@ -376,10 +381,14 @@ class Core:
             return handle["top_s"], handle["top_p"]
         B = handle["B"]
         # one packed (B, 2k) f32 fetch: device->host round-trip latency
-        # dominates per-batch cost, so scores+positions ride one buffer.
-        # unpack_top5 returns writable copies (finish_batch overwrites
-        # clipped-read rows with the exact host recompute)
-        return unpack_top5(np.asarray(handle["packed"][:B]))
+        # dominates per-batch cost, so scores+positions ride one buffer
+        ts, tp = unpack_top5(np.asarray(handle["packed"][:B]))
+        if "clip_packed" in handle:
+            cs, cp = unpack_top5(np.asarray(handle["clip_packed"]))
+            rows = handle["clip_rows"]
+            ts[rows] = cs[: rows.size]
+            tp[rows] = cp[: rows.size]
+        return ts, tp
 
     # max device batch rows per kernel launch: B=512 x Q<=512 fits the
     # 16 MB scoped-VMEM budget of the wavefront kernel; larger -K loads
@@ -498,7 +507,31 @@ class Core:
             pack=True,
         )
         _start_host_copy(packed)
-        return dict(packed=packed, qlens=qlens, B=qb.shape[0])
+        handle = dict(
+            packed=packed, qlens=qlens, B=qb.shape[0], clipped_done=True
+        )
+        # clipped reads (qlen != W): second device pass with per-read
+        # dynamic window widths (segmented scan) instead of an O(R*qlen)
+        # host DP per read (ref sigfish.c:457-461 short-read semantics).
+        # Rows are padded to power-of-2 buckets to bound recompiles.
+        clip_rows = np.where((qlens > 0) & (qlens != W))[0]
+        if clip_rows.size:
+            bc = 1
+            while bc < clip_rows.size:
+                bc *= 2
+            rows_pad = np.zeros(bc, dtype=np.int32)
+            rows_pad[: clip_rows.size] = clip_rows
+            rows_dev = jnp.asarray(rows_pad)
+            cpacked = device_topk_candidates(
+                jnp.take(scores, rows_dev, axis=0),
+                jnp.take(qlens_dev, rows_dev),
+                self.u_dev, self.valid_dev, R, k=5, reindex=reindex,
+                pack=True,
+            )
+            _start_host_copy(cpacked)
+            handle["clip_rows"] = clip_rows
+            handle["clip_packed"] = cpacked
+        return handle
 
     def _native_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, n_live: int | None = None
@@ -535,7 +568,12 @@ class Core:
         else:
             for slot in range(n):
                 one(slot)
-        return dict(native=True, top_s=top_s, top_p=top_p, qlens=qlens, B=B)
+        # the native engine runs each read at its own qlen (clipped reads
+        # included) -- no host fallback pass needed
+        return dict(
+            native=True, top_s=top_s, top_p=top_p, qlens=qlens, B=B,
+            clipped_done=True,
+        )
 
     def _clipped_top5(self, query: np.ndarray):
         """Exact last row over every track for one clipped read (native
@@ -867,17 +905,20 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
 
     if not opt.dtw_std:
         top_s, top_p = core.sdtw_candidates_collect(pending.handle)
-        # clipped reads (qlen != W): the device engines emit the uniform
-        # qlen-1 lane only; recompute these reads' full last rows with
-        # the exact-scalar native DP (byte-identical to the reference)
-        W = opt.query_size
-        for slot, i in enumerate(live):
-            w = works[i]
-            qlen = w.query.size
-            if qlen > 0 and qlen != W:
-                s5, p5 = core._clipped_top5(w.query)
-                top_s[slot] = s5
-                top_p[slot] = p5
+        # clipped reads (qlen != W): the single-device and native engines
+        # handle them exactly (device segmented-window pass / per-read
+        # native DP, flagged clipped_done); the mesh/ring paths emit the
+        # uniform qlen-1 lane only, so recompute those reads' full last
+        # rows with the exact-scalar host DP
+        if not _handle_clipped_done(pending.handle):
+            W = opt.query_size
+            for slot, i in enumerate(live):
+                w = works[i]
+                qlen = w.query.size
+                if qlen > 0 and qlen != W:
+                    s5, p5 = core._clipped_top5(w.query)
+                    top_s[slot] = s5
+                    top_p[slot] = p5
     else:
         last_row = pending.last_row
 
@@ -987,6 +1028,14 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
     if opt.profile:
         core.dtw_time += _time.time() - pending.dtw_t0
     return [w.out for w in works], stats
+
+
+def _handle_clipped_done(handle) -> bool:
+    """True when the engine already produced exact top-5 for clipped
+    (qlen != W) reads, so finish_batch can skip the host recompute."""
+    if "parts" in handle:
+        return all(_handle_clipped_done(h) for h in handle["parts"])
+    return bool(handle.get("clipped_done"))
 
 
 def process_batch(core: Core, blobs: list[bytes]) -> tuple[list[str | None], BatchStats]:

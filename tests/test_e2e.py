@@ -139,3 +139,47 @@ def test_clipped_reads_fallback_path(tmp_path):
         lines = [l for l in out.getvalue().splitlines() if l]
         assert len(lines) == 4, (engine, len(lines))
         assert core.too_short == 2
+
+
+def test_clipped_device_path_matches_native(tmp_path):
+    """Clipped reads (qlen != W) through the device engines' segmented
+    window pass (device_topk_candidates) must match the native engine's
+    exact per-read DP byte-for-byte (ref sigfish.c:457-461)."""
+    import numpy as np
+
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+    from sigfish_tpu.runtime.pipeline import Core, Options, process_batch
+
+    src = Slow5File("/root/reference/test/sp1_dna.blow5")
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = str(tmp_path / "mixed.blow5")
+    with Slow5Writer(p, header_data=hdr) as w:
+        for r in recs:
+            w.write_record(r)
+            for cut in (2000, 1200, 800):
+                w.write_record(
+                    Slow5Record(
+                        read_id=f"{r.read_id}_cut{cut}",
+                        read_group=r.read_group,
+                        digitisation=r.digitisation,
+                        offset=r.offset,
+                        range=r.range,
+                        sampling_rate=r.sampling_rate,
+                        raw_signal=r.raw_signal[:cut],
+                    )
+                )
+
+    outs = {}
+    for engine in ("native", "scan"):
+        core = Core(
+            "/root/reference/test/nCoV-2019.reference.fasta", p,
+            Options(engine=engine),
+        )
+        blobs = core.sf.read_batch(512, 10**9)
+        lines, _ = process_batch(core, blobs)
+        outs[engine] = [l for l in lines if l]
+        core.close()
+    assert outs["scan"] == outs["native"]
+    assert len(outs["scan"]) == 20  # 5 full + 15 clipped, all mapped
