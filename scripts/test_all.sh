@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# One-command acceptance gate (the reference's `make test` equivalent,
+# ref /root/reference/test/test.sh + .github/workflows/c-cpp.yml):
+#
+#   scripts/test_all.sh            # unit+e2e suite, accuracy gates
+#   scripts/test_all.sh full       # + oracle byte-parity matrix + bench
+#
+# Nonzero exit on any regression. Stages:
+#   1. pytest tests/ (unit, golden, e2e, parallel, distributed)
+#   2. accuracy gates via the eval subtool on both in-repo datasets
+#      (DNA mapped>=100% correct>=85%; RNA mapped>=100% correct>=75%,
+#       thresholds from test/test.sh:54-55,66-67)
+#   3. [full] scripts/parity_oracle.sh -- 24-case byte-diff vs the C
+#      binary (requires the /tmp/refbuild oracle, see that script)
+#   4. [full] bench.py JSON (real device)
+set -u
+cd "$(dirname "$0")/.."
+FAIL=0
+note() { printf '\n== %s ==\n' "$*"; }
+
+note "stage 1: pytest"
+python -m pytest tests/ -x -q || FAIL=1
+
+note "stage 2: accuracy gates"
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+    /root/reference/test/sp1_dna.blow5 > "$TMP/dna.paf" 2>/dev/null || FAIL=1
+python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+    /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 \
+    > "$TMP/rna.paf" 2>/dev/null || FAIL=1
+
+check_gate() { # name truth test mapped_min correct_min
+  local name=$1 truth=$2 test=$3 mmin=$4 cmin=$5
+  python -m sigfish_tpu.cli eval "$truth" "$test" 2>/dev/null > "$TMP/ev.txt"
+  local mapped correct
+  mapped=$(awk -F'[(%]' '/^mapped_testset/{print $2}' "$TMP/ev.txt")
+  correct=$(awk -F'[(%]' '/^correct/{print $2}' "$TMP/ev.txt")
+  if awk -v m="$mapped" -v c="$correct" -v mm="$mmin" -v cm="$cmin" \
+       'BEGIN{exit !(m>=mm && c>=cm)}'; then
+    echo "PASS $name (mapped $mapped% >= $mmin%, correct $correct% >= $cmin%)"
+  else
+    echo "FAIL $name (mapped $mapped% need >=$mmin%, correct $correct% need >=$cmin%)"
+    FAIL=1
+  fi
+}
+check_gate dna /root/reference/test/sp1_dna.minimap2.paf "$TMP/dna.paf" 100.0 85.0
+check_gate rna /root/reference/test/sequin_rna.minimap2.paf "$TMP/rna.paf" 100.0 75.0
+
+if [ "${1:-}" = "full" ]; then
+  note "stage 3: oracle byte-parity matrix"
+  if [ -x /tmp/refbuild/sigfish ]; then
+    bash scripts/parity_oracle.sh | tee "$TMP/parity.txt"
+    grep -q "0 diff" "$TMP/parity.txt" || FAIL=1
+  else
+    echo "SKIP: /tmp/refbuild/sigfish oracle not built (see parity_oracle.sh header)"
+  fi
+
+  note "stage 4: bench"
+  unset JAX_PLATFORMS
+  python bench.py || FAIL=1
+fi
+
+note "result"
+if [ "$FAIL" = 0 ]; then echo "ALL GATES PASS"; else echo "GATE FAILURES"; fi
+exit $FAIL

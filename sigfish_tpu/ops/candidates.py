@@ -22,24 +22,8 @@ sigfish.c:870-964) -- preserved here because it decides ties.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 
 import numpy as np
-
-
-@dataclass
-class Alignment:
-    rid: int = -1
-    pos_st: int = -1
-    pos_end: int = -1
-    score: float = float("inf")
-    score2: float = float("inf")
-    d: str = "+"
-    mapq: int = 0
-    # position of the best end within the concatenated device track and
-    # which track it was (for backtracking)
-    track_idx: int = -1
-    track_pos_end: int = -1
 
 
 def window_argmin(scores: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:

@@ -149,7 +149,7 @@ def device_window_top5(
     starts at a multiple of W, so the reference's per-track windows of
     width qlen (sigfish.c:891) coincide with a static (B, R/W, W) reshape
     for every read whose qlen == W -- which is all full-length reads
-    (qlen < W only for clipped short reads, handled on the host).
+    (qlen < W clipped reads go through device_topk_candidates).
     Compiles in O(1) ops regardless of R (the segmented-scan variant's
     compile time grows with R).
 
@@ -207,13 +207,3 @@ def unpack_top5(packed: np.ndarray, k: int = 5) -> tuple[np.ndarray, np.ndarray]
     ts = np.ascontiguousarray(packed[:, :k], dtype=np.float32)
     tp = np.ascontiguousarray(packed[:, k:], dtype=np.float32).view(np.int32)
     return ts, tp
-
-
-@partial(jax.jit, static_argnames=("R",))
-def device_extract_last_row(
-    scores: jnp.ndarray, qlens: jnp.ndarray, row: int, R: int
-) -> jnp.ndarray:
-    """Pull one read's column-indexed last row from diag scores (for the
-    host fallback on reads with qlen != W)."""
-    j = jnp.arange(R, dtype=jnp.int32)
-    return scores[row, :][j + (qlens[row] - 1)]
