@@ -17,6 +17,10 @@
 #   make -C /tmp/refbuild -j8
 #   python -m sigfish_tpu.models.export_tsv   # writes /tmp/sigfish_models/*.tsv
 set -u
+# byte parity is engine-independent (all engines are bit-exact; the
+# native CPU engine is the fastest oracle-comparable path) -- run our
+# CLI on the CPU so no case pays device compile / axon first-touch cost
+export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
 ORACLE=${ORACLE:-/tmp/refbuild/sigfish}
 REF=${REF:-/root/reference/test}
 DNA_TSV=${DNA_TSV:-/tmp/sigfish_models/r9.4_dna_6mer.tsv}

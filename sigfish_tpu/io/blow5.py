@@ -199,7 +199,17 @@ class Slow5Record:
         return int(self.raw_signal.size)
 
     def to_pa(self) -> np.ndarray:
-        """ADC -> picoamps. ref: src/sigfish.c:344-347, src/misc.h:123."""
+        """ADC -> picoamps. ref: src/sigfish.c:344-347, src/misc.h:123.
+
+        Uses the fused native pass when available (identical f32 op
+        order, no numpy temporaries)."""
+        from .. import native
+
+        pa = native.pa_from_i16(
+            self.raw_signal, self.digitisation, self.offset, self.range
+        )
+        if pa is not None:
+            return pa
         raw_unit = np.float32(self.range) / np.float32(self.digitisation)
         return (
             (self.raw_signal.astype(np.float32) + np.float32(self.offset)) * raw_unit

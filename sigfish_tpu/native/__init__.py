@@ -25,7 +25,7 @@ def _build() -> bool:
     try:
         cmd = [
             "g++", "-O3", "-march=native", "-ffp-contract=off", "-fno-math-errno", "-shared", "-fPIC",
-            "-o", _SO, _SRC, "-lz",
+            "-o", _SO, _SRC, "-lz", "-ldeflate",
         ]
         if os.environ.get("SIGFISH_TPU_ASAN"):
             # sanitizer build (ref Makefile:29-32 `make asan=1`); run
@@ -115,6 +115,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.sf_subsequence_lastrow.restype = None
+    lib.sf_pa_from_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.sf_pa_from_i16.restype = None
     _lib = lib
     return lib
 
@@ -253,6 +258,22 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
             cap *= 4
             continue
         return None
+
+
+def pa_from_i16(sig: np.ndarray, digitisation: float, offset: float,
+                range_: float):
+    """Fused ADC->pA conversion (exact f32 op order of to_pa); None if
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(sig, np.int16)
+    out = np.empty(sig.size, np.float32)
+    lib.sf_pa_from_i16(
+        sig.ctypes.data, sig.size, float(digitisation), float(offset),
+        float(range_), out.ctypes.data,
+    )
+    return out
 
 
 def jnnv2(sig_i16: np.ndarray, window: int, std_scale: float,
