@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import faulthandler
+import os
 import sys
 import time
 
@@ -326,4 +327,12 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    _rc = main()
+    # hard exit: skip interpreter teardown. Remote-backend watchdog
+    # threads (observed on the axon TPU transport) can block atexit for
+    # minutes after all work is done; every output stream is flushed
+    # and -o files are closed before main() returns. Library callers
+    # (tests import dtw_main/main directly) are unaffected.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_rc)

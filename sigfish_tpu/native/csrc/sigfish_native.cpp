@@ -780,20 +780,44 @@ void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
     }
     const float OUT_MAX = 1200.0f, OUT_MIN = 0.0f;
     int64_t tn = nsample - window;
-    float* t = (float*)malloc(sizeof(float) * tn);
-    if (!t) { out[0] = -1; out[1] = -1; return; }
-    // clamped view + exact running-sum rolling mean
+    // thread-local scratch: clamped copy + rolling-mean trace
+    static thread_local float* c = nullptr;
+    static thread_local float* t = nullptr;
+    static thread_local int64_t jv_cap = 0;
+    if (nsample > jv_cap) {
+        int64_t cap = nsample;
+        if (cap < 2 * jv_cap) cap = 2 * jv_cap;
+        free(c); free(t);
+        c = (float*)malloc(sizeof(float) * cap);
+        t = (float*)malloc(sizeof(float) * cap);
+        if (!c || !t) {
+            free(c); free(t); c = t = nullptr; jv_cap = 0;
+            out[0] = -1; out[1] = -1; return;
+        }
+        jv_cap = cap;
+    }
+    // clamp pass first (branchless, auto-vectorizes): the sequential
+    // running-sum chain below then runs on plain f32 loads. The clamp
+    // value per sample is identical to inlining it, so the chain's
+    // rounding sequence is unchanged (bit-exact with jnn.c:62-77 +
+    // :21-57).
+    for (int64_t i = 0; i < nsample; i++) {
+        float v = (float)sig[i];
+        v = v > OUT_MAX ? OUT_MAX : v;
+        v = v < OUT_MIN ? OUT_MIN : v;
+        c[i] = v;
+    }
+    // exact running-sum rolling mean (latency-bound f32 chain; order
+    // fixed by bit-exactness, ref jnn.c:21-57)
     float tt = 0.0f;
     const float wf = (float)window;
-#define CLAMP(v) ((v) > OUT_MAX ? OUT_MAX : ((v) < OUT_MIN ? OUT_MIN : (float)(v)))
-    for (int64_t i = 0; i < window; i++) tt += CLAMP(sig[i]);
+    for (int64_t i = 0; i < window; i++) tt += c[i];
     t[0] = tt / wf;
     for (int64_t i = 1; i < tn; i++) {
-        tt -= CLAMP(sig[i - 1]);
-        tt += CLAMP(sig[i + window - 1]);
+        tt -= c[i - 1];
+        tt += c[i + window - 1];
         t[i] = tt / wf;
     }
-#undef CLAMP
     float sum = 0.0f;
     for (int64_t i = 0; i < tn; i++) sum += t[i];
     float mn = sum / tn;
@@ -804,7 +828,7 @@ void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
 
     int64_t cap = 256, nseg = 0;
     int64_t* segs = (int64_t*)malloc(sizeof(int64_t) * 2 * cap);
-    if (!segs) { free(t); out[0] = -1; out[1] = -1; return; }
+    if (!segs) { out[0] = -1; out[1] = -1; return; }
     int begin = 0;
     int64_t start = 0, end = 0;
     for (int64_t j = 0; j < tn; j++) {
@@ -822,7 +846,7 @@ void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
                     cap *= 2;
                     int64_t* ns =
                         (int64_t*)realloc(segs, sizeof(int64_t) * 2 * cap);
-                    if (!ns) { free(t); free(segs); out[0]=-1; out[1]=-1; return; }
+                    if (!ns) { free(segs); out[0]=-1; out[1]=-1; return; }
                     segs = ns;
                 }
                 segs[2 * nseg] = start;
@@ -842,7 +866,6 @@ void sf_jnnv2(const int16_t* sig, int64_t nsample, int64_t window,
         out[1] = b + window / 2 - 1;
         break;
     }
-    free(t);
     free(segs);
 }
 
