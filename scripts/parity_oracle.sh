@@ -19,8 +19,12 @@
 set -u
 # byte parity is engine-independent (all engines are bit-exact; the
 # native CPU engine is the fastest oracle-comparable path) -- run our
-# CLI on the CPU so no case pays device compile / axon first-touch cost
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+# CLI on the CPU so no case pays device compile / axon first-touch cost.
+# Clearing PALLAS_AXON_POOL_IPS keeps the axon TPU client from engaging
+# at interpreter start: back-to-back processes otherwise serialize for
+# minutes on the relay handshake.
+export JAX_PLATFORMS=cpu
+export PALLAS_AXON_POOL_IPS=
 ORACLE=${ORACLE:-/tmp/refbuild/sigfish}
 REF=${REF:-/root/reference/test}
 DNA_TSV=${DNA_TSV:-/tmp/sigfish_models/r9.4_dna_6mer.tsv}
@@ -35,7 +39,7 @@ run_case() {
   timeout 600 "$ORACLE" dtw "$@" --kmer-model "$model" -t 1 \
       > "$OUT/$name.oracle" 2>/dev/null
   timeout 600 python -m sigfish_tpu.cli dtw "$@" --kmer-model "$model" \
-      > "$OUT/$name.ours" 2>/dev/null
+      > "$OUT/$name.ours" 2> "$OUT/$name.err"
   if diff -q "$OUT/$name.oracle" "$OUT/$name.ours" > /dev/null; then
     echo "PASS $name (byte-identical)"
     PASS=$((PASS+1))

@@ -24,7 +24,9 @@ python -m pytest tests/ -x -q || FAIL=1
 note "stage 2: accuracy gates"
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+export JAX_PLATFORMS=cpu
+_SAVED_AXON="${PALLAS_AXON_POOL_IPS:-}"
+export PALLAS_AXON_POOL_IPS=   # no axon client for CPU-only gate runs
 python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
     /root/reference/test/sp1_dna.blow5 > "$TMP/dna.paf" 2>/dev/null || FAIL=1
 python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
@@ -59,6 +61,7 @@ if [ "${1:-}" = "full" ]; then
 
   note "stage 4: bench"
   unset JAX_PLATFORMS
+  export PALLAS_AXON_POOL_IPS="$_SAVED_AXON"  # bench needs the device
   python bench.py || FAIL=1
 fi
 

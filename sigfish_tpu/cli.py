@@ -277,6 +277,13 @@ def eval_cli(argv: list[str]) -> int:
 def main(argv: list[str] | None = None) -> int:
     import os as _os
 
+    if _os.environ.get("SIGFISH_TPU_WATCHDOG"):
+        # debugging aid: periodically dump all thread stacks to a file
+        # (stderr may be redirected away); diagnoses silent stalls
+        faulthandler.dump_traceback_later(
+            20, repeat=True,
+            file=open(_os.environ["SIGFISH_TPU_WATCHDOG"], "w"),
+        )
     if _os.environ.get("JAX_PLATFORMS"):
         # the axon sitecustomize pins the TPU platform via jax.config,
         # which silently overrides the JAX_PLATFORMS env var -- re-apply

@@ -28,6 +28,9 @@ def _env() -> dict[str, str]:
     env["JAX_PLATFORMS"] = "cpu"
     env["SIGFISH_TPU_NO_XLA_CACHE"] = "1"
     env.pop("XLA_FLAGS", None)  # plain 1-device CPU per process
+    # keep the axon TPU client out of CPU-only subprocesses (its relay
+    # handshake serializes back-to-back processes for minutes)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     return env
 
 
