@@ -199,7 +199,7 @@ def dtw_main(argv: list[str]) -> int:
         # deterministic ordered emission: ranges are contiguous and in
         # file order, so host-order concatenation reproduces the
         # single-process output byte-for-byte (host 0 writes)
-        from .parallel.distributed import gather_counters, gather_ordered
+        from .parallel.distributed import barrier, gather_counters, gather_ordered
 
         merged = gather_ordered(
             body_fp.getvalue().encode(), host_id, n_hosts
@@ -229,6 +229,10 @@ def dtw_main(argv: list[str]) -> int:
                 f"{totals['total_reads']}\tprefix fail: {totals['prefix_fail']}"
                 f"\tignored: {totals['ignored']}\ttoo short: {totals['too_short']}\n"
             )
+        # align all processes before anyone exits: host 0 owns the
+        # coordination service, and tearing it down mid-gather resets
+        # the peers' connections
+        barrier("sigfish_tpu_exit")
 
     # final report, ref dtw_main.c:331-345 + main.c:98-99
     e = sys.stderr

@@ -161,6 +161,13 @@ def gather_ordered(data: bytes, process_id: int, num_processes: int,
     return b"".join(parts)
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this barrier (coordination
+    service). Used before process exit so host 0 (which owns the
+    coordinator) cannot tear it down while peers are still mid-gather."""
+    _kv_client().wait_at_barrier(name, timeout_ms)
+
+
 def gather_counters(
     counters: dict[str, int], process_id: int, num_processes: int
 ) -> dict[str, int] | None:
