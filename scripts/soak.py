@@ -18,6 +18,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build(path: str, n_copies: int) -> int:
     from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer

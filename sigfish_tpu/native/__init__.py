@@ -329,6 +329,9 @@ def jnn_core_segments(sig: np.ndarray, top: float, bot: float, corrector: int,
         cap *= 2
 
 
+_EV_SCRATCH: dict = {}
+
+
 def detect_events(signal_pa: np.ndarray, rna: bool = False):
     """Native event segmentation; returns (start u64, length f32,
     mean f32, stdv f32) or None if unavailable."""
@@ -341,10 +344,22 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False):
     sig = np.ascontiguousarray(signal_pa, np.float32)
     n = sig.size
     cap = n + 2
-    ev_start = np.empty(cap, np.int64)
-    ev_len = np.empty(cap, np.float32)
-    ev_mean = np.empty(cap, np.float32)
-    ev_stdv = np.empty(cap, np.float32)
+    # reuse output scratch across calls (4 x ~1 MB fresh allocations per
+    # RNA read otherwise; only the first k events are copied out below).
+    # Thread-keyed: the pipeline pool calls this concurrently.
+    import threading
+
+    key = threading.get_ident()
+    bufs = _EV_SCRATCH.get(key)
+    if bufs is None or bufs[0].size < cap:
+        bufs = (
+            np.empty(max(cap, 1 << 16), np.int64),
+            np.empty(max(cap, 1 << 16), np.float32),
+            np.empty(max(cap, 1 << 16), np.float32),
+            np.empty(max(cap, 1 << 16), np.float32),
+        )
+        _EV_SCRATCH[key] = bufs
+    ev_start, ev_len, ev_mean, ev_stdv = bufs
     k = lib.sf_detect_events(
         sig.ctypes.data, n,
         p["window_length1"], p["window_length2"],

@@ -305,6 +305,42 @@ static void sf_tstat_range(const double* __restrict sums,
 // loop — verified lane-for-lane by tests/test_native.py. vmaxps keeps
 // fmaxf's NaN semantics here (returns the second operand, eta, when the
 // variance lane is NaN). Scalar tail for the remainder.
+#if defined(__AVX512F__)
+// one 8-lane t-stat evaluation at positions [i, i+8) for window w; the
+// s_i/q_i central loads are shared by the dual-window caller
+static inline __m256 sf_tstat_vec8(const double* __restrict sums,
+                                   const double* __restrict sumsqs,
+                                   int64_t i, int32_t w,
+                                   __m512d s_i, __m512d q_i) {
+    const float w_lengthf = (float)w;
+    const __m512d wd = _mm512_set1_pd((double)w_lengthf);
+    const __m256 wf = _mm256_set1_ps(w_lengthf);
+    const __m256 eta = _mm256_set1_ps(FLT_MIN);
+    __m512d s_l = _mm512_loadu_pd(sums + i - w);
+    __m512d s_r = _mm512_loadu_pd(sums + i + w);
+    __m512d q_l = _mm512_loadu_pd(sumsqs + i - w);
+    __m512d q_r = _mm512_loadu_pd(sumsqs + i + w);
+    __m512d sum1 = _mm512_sub_pd(s_i, s_l);
+    __m512d sumsq1 = _mm512_sub_pd(q_i, q_l);
+    __m256 sum2 = _mm512_cvtpd_ps(_mm512_sub_pd(s_r, s_i));
+    __m256 sumsq2 = _mm512_cvtpd_ps(_mm512_sub_pd(q_r, q_i));
+    __m256 mean1 = _mm512_cvtpd_ps(_mm512_div_pd(sum1, wd));
+    __m256 mean2 = _mm256_div_ps(sum2, wf);
+    // (((sumsq1/w)_f64 - (mean1*mean1)_f32) + (sumsq2/w)_f32) -
+    // (mean2*mean2)_f32, accumulated in f64 exactly as the scalar
+    // expression promotes
+    __m512d acc = _mm512_div_pd(sumsq1, wd);
+    acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean1, mean1)));
+    acc = _mm512_add_pd(acc, _mm512_cvtps_pd(_mm256_div_ps(sumsq2, wf)));
+    acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean2, mean2)));
+    __m256 cv = _mm256_max_ps(_mm512_cvtpd_ps(acc), eta);
+    __m256 delta = _mm256_sub_ps(mean2, mean1);
+    __m512d denom = _mm512_sqrt_pd(_mm512_cvtps_pd(_mm256_div_ps(cv, wf)));
+    __m512d absd = _mm512_abs_pd(_mm512_cvtps_pd(delta));
+    return _mm512_cvtpd_ps(_mm512_div_pd(absd, denom));
+}
+#endif
+
 static void sf_tstat_loop(const double* __restrict sums,
                           const double* __restrict sumsqs,
                           int64_t nsample, int32_t w,
@@ -312,40 +348,47 @@ static void sf_tstat_loop(const double* __restrict sums,
     int64_t i = w;
     const int64_t iend = nsample - w;  // inclusive
 #if defined(__AVX512F__)
-    const float w_lengthf = (float)w;
-    const __m512d wd = _mm512_set1_pd((double)w_lengthf);
-    const __m256 wf = _mm256_set1_ps(w_lengthf);
-    const __m256 eta = _mm256_set1_ps(FLT_MIN);
     for (; i + 7 <= iend; i += 8) {
-        __m512d s_l = _mm512_loadu_pd(sums + i - w);
         __m512d s_i = _mm512_loadu_pd(sums + i);
-        __m512d s_r = _mm512_loadu_pd(sums + i + w);
-        __m512d q_l = _mm512_loadu_pd(sumsqs + i - w);
         __m512d q_i = _mm512_loadu_pd(sumsqs + i);
-        __m512d q_r = _mm512_loadu_pd(sumsqs + i + w);
-        __m512d sum1 = _mm512_sub_pd(s_i, s_l);
-        __m512d sumsq1 = _mm512_sub_pd(q_i, q_l);
-        __m256 sum2 = _mm512_cvtpd_ps(_mm512_sub_pd(s_r, s_i));
-        __m256 sumsq2 = _mm512_cvtpd_ps(_mm512_sub_pd(q_r, q_i));
-        __m256 mean1 = _mm512_cvtpd_ps(_mm512_div_pd(sum1, wd));
-        __m256 mean2 = _mm256_div_ps(sum2, wf);
-        // (((sumsq1/w)_f64 - (mean1*mean1)_f32) + (sumsq2/w)_f32) -
-        // (mean2*mean2)_f32, accumulated in f64 exactly as the scalar
-        // expression promotes
-        __m512d acc = _mm512_div_pd(sumsq1, wd);
-        acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean1, mean1)));
-        acc = _mm512_add_pd(acc, _mm512_cvtps_pd(_mm256_div_ps(sumsq2, wf)));
-        acc = _mm512_sub_pd(acc, _mm512_cvtps_pd(_mm256_mul_ps(mean2, mean2)));
-        __m256 cv = _mm256_max_ps(_mm512_cvtpd_ps(acc), eta);
-        __m256 delta = _mm256_sub_ps(mean2, mean1);
-        __m512d denom =
-            _mm512_sqrt_pd(_mm512_cvtps_pd(_mm256_div_ps(cv, wf)));
-        __m512d absd = _mm512_abs_pd(_mm512_cvtps_pd(delta));
         _mm256_storeu_ps(tst + i,
-                         _mm512_cvtpd_ps(_mm512_div_pd(absd, denom)));
+                         sf_tstat_vec8(sums, sumsqs, i, w, s_i, q_i));
     }
 #endif
     sf_tstat_range(sums, sumsqs, i, iend, w, tst);
+}
+
+// both detector windows in ONE streaming pass over sums/sumsqs: the
+// t-stat is memory-bound (6 f64 streams per window), and the central
+// loads are shared, so fusing halves the traffic. Per-lane operations
+// are identical to sf_tstat_loop -- outputs are bit-identical.
+// Requires w1 <= w2; covers tstat1 over [w1, n-w1] and tstat2 over
+// [w2, n-w2] (the w1-only edges run scalar).
+static void sf_tstat_dual(const double* __restrict sums,
+                          const double* __restrict sumsqs,
+                          int64_t nsample, int32_t w1, int32_t w2,
+                          float* __restrict tst1,
+                          float* __restrict tst2) {
+    int64_t i = w2;
+    const int64_t iend2 = nsample - w2;  // inclusive, window-2 range
+#if defined(__AVX512F__)
+    for (; i + 7 <= iend2; i += 8) {
+        __m512d s_i = _mm512_loadu_pd(sums + i);
+        __m512d q_i = _mm512_loadu_pd(sumsqs + i);
+        _mm256_storeu_ps(tst1 + i,
+                         sf_tstat_vec8(sums, sumsqs, i, w1, s_i, q_i));
+        _mm256_storeu_ps(tst2 + i,
+                         sf_tstat_vec8(sums, sumsqs, i, w2, s_i, q_i));
+    }
+#endif
+    sf_tstat_range(sums, sumsqs, i, iend2, w1, tst1);
+    sf_tstat_range(sums, sumsqs, i, iend2, w2, tst2);
+    // window-1 edges outside the fused range
+    if (w1 < w2) {
+        sf_tstat_range(sums, sumsqs, w1, w2 - 1, w1, tst1);
+        sf_tstat_range(sums, sumsqs, nsample - w2 + 1, nsample - w1, w1,
+                       tst1);
+    }
 }
 
 // t-test event segmentation, one call per read. Exact port of
@@ -395,11 +438,16 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         sumsqs[i + 1] = sumsqs[i] + v * v;
     }
 
-    // two sliding Welch t-stats: bit-exact port of events.c:319-368
-    const int32_t ws[2] = {w1, w2};
-    for (int p = 0; p < 2; p++) {
-        if (nsample >= 2 * (int64_t)ws[p] && ws[p] >= 2)
-            sf_tstat_loop(sums, sumsqs, nsample, ws[p], tstat[p]);
+    // two sliding Welch t-stats: bit-exact port of events.c:319-368;
+    // fused single pass when both windows are active (the common case)
+    if (w1 >= 2 && w2 >= w1 && nsample >= 2 * (int64_t)w2) {
+        sf_tstat_dual(sums, sumsqs, nsample, w1, w2, tstat0, tstat1);
+    } else {
+        const int32_t ws[2] = {w1, w2};
+        for (int p = 0; p < 2; p++) {
+            if (nsample >= 2 * (int64_t)ws[p] && ws[p] >= 2)
+                sf_tstat_loop(sums, sumsqs, nsample, ws[p], tstat[p]);
+        }
     }
 
     // coupled short/long peak detector state machine
