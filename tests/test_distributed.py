@@ -88,3 +88,41 @@ def test_multiprocess_sam_header_once(tmp_path):
     merged = _run_cluster(2, tmp_path, ["--sam"])
     assert merged == single
     assert merged.count("@PG") == 1
+
+
+def test_compute_host_ranges_properties(tmp_path):
+    """Byte-balanced contiguous split: covers every record exactly once,
+    in file order, for host counts exceeding the record count too."""
+    import numpy as np
+
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+    from sigfish_tpu.parallel.distributed import compute_host_ranges
+
+    p = str(tmp_path / "r.blow5")
+    rng = np.random.default_rng(5)
+    sizes = [10, 5000, 20, 3000, 40, 60, 2500, 8]  # wildly uneven
+    with Slow5Writer(p, header_data=[{}]) as w:
+        for i, n in enumerate(sizes):
+            w.write_record(
+                Slow5Record(
+                    read_id=f"r{i}", read_group=0, digitisation=8192.0,
+                    offset=0.0, range=1400.0, sampling_rate=4000.0,
+                    raw_signal=rng.integers(-500, 500, n).astype(np.int16),
+                )
+            )
+    with Slow5File(p) as sf:
+        for n_hosts in (1, 2, 3, 8, 12):
+            ranges = compute_host_ranges(sf, n_hosts)
+            assert len(ranges) == n_hosts
+            # contiguous, complete, in order
+            pos = 0
+            for r in ranges:
+                assert r.rec_start == pos
+                pos += r.n_records
+            assert pos == len(sizes)
+            # each non-empty range seeks to a decodable record boundary
+            for r in ranges:
+                if r.n_records:
+                    sf.seek_record(r.file_offset, r.rec_start)
+                    rec = sf.decode_record(sf.read_next_blob())
+                    assert rec.read_id == f"r{r.rec_start}"
