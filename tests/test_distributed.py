@@ -53,7 +53,7 @@ def _run_cluster(n_hosts: int, tmp_path, extra: list[str]) -> str:
             )
         )
     for i, p in enumerate(procs):
-        _, err = p.communicate(timeout=420)
+        _, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-2000:]}"
     # hosts 1..N-1 emit nothing; host 0 emits the ordered merge
     for i in range(1, n_hosts):
@@ -69,7 +69,7 @@ def _run_single(tmp_path, extra: list[str]) -> str:
         env=_env(),
         capture_output=True,
         cwd="/root/repo",
-        timeout=420,
+        timeout=900,
     )
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     return open(out).read()
