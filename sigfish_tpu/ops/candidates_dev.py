@@ -13,10 +13,10 @@ update_aln:575-626) compress that to 5 (score, pos) pairs per read:
   - d1 = best score, d2 = second best (aln[4], aln[3])
 
 The per-read window width (qlen_b varies for short reads,
-sigfish.c:457-461) makes this a *segmented* min-scan with per-read reset
-masks -- an associative_scan over (flag, min, argmin) triples, fully
-vectorized over the (B, R) grid. Top-5 is five masked argmin passes over
-the window-end lanes.
+sigfish.c:457-461) makes this a *segmented* min: per-read window ids
+from a cumsum over window-start flags, per-window (min, first-argmin)
+from vmapped segment_min scatters, fully vectorized over the (B, R)
+grid. Top-5 is five masked argmin passes over the window lanes.
 """
 
 from __future__ import annotations
@@ -57,17 +57,7 @@ def build_column_maps(
     return u, valid
 
 
-def _seg_combine(a, b):
-    """Segmented (min, first-argmin) scan operator."""
-    fa, ma, ia = a
-    fb, mb, ib = b
-    better = mb < ma  # strict: right wins only if strictly smaller
-    m = jnp.where(fb, mb, jnp.where(better, mb, ma))
-    i = jnp.where(fb, ib, jnp.where(better, ib, ia))
-    return fa | fb, m, i
-
-
-@partial(jax.jit, static_argnames=("R", "k", "reindex", "pack"))
+@partial(jax.jit, static_argnames=("R", "k", "reindex", "pack", "min_q", "n_tracks"))
 def device_topk_candidates(
     scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, R) last row
     qlens: jnp.ndarray,    # (B,) i32
@@ -77,15 +67,23 @@ def device_topk_candidates(
     k: int = 5,
     reindex: bool = True,
     pack: bool = False,
+    min_q: int = 25,
+    n_tracks: int = 512,
 ):
     """Returns (top_scores (B, k) f32 best-first, top_pos (B, k) i32 global
     concat-column argmin positions; empty slots have score BIG and pos -1).
 
     Unlike :func:`device_window_top5` (static W-wide windows, the
-    full-length fast path) this handles per-read window widths via a
-    segmented scan -- it is the device path for CLIPPED reads
-    (qlen != W, ref sigfish.c:457-461 short-read semantics), replacing
-    the O(R*qlen) per-read host recompute. With pack=True returns one
+    full-length fast path) this handles per-read window widths -- it is
+    the device path for CLIPPED reads (qlen != W, ref sigfish.c:457-461
+    short-read semantics), replacing the O(R*qlen) per-read host
+    recompute. Per-read window ids come from a cumsum over window-start
+    flags; per-window (min, first-argmin) from two vmapped segment_min
+    scatters. These lower to small standard HLO (the earlier
+    associative_scan formulation compiled pathologically on real TPU
+    backends). min_q bounds the segment count: the reference never maps
+    queries shorter than 25 events (sigfish.c:450-456), so a track of
+    size s has at most ceil(s/min_q) windows. With pack=True returns one
     (B, 2k) f32 buffer (positions bitcast; see unpack_top5)."""
     B = scores.shape[0]
     j = jnp.arange(R, dtype=jnp.int32)
@@ -96,18 +94,29 @@ def device_topk_candidates(
         lr = scores[:, :R]
     lr = jnp.where(valid[None, :], lr, BIG)
 
+    # static bound on windows per read: every track contributes at most
+    # ceil(size/min_q) <= size/min_q + 1 windows; padding columns all
+    # land in one trash segment. +2 covers the trash slot and rounding.
+    NS = R // max(min_q, 1) + n_tracks + 2
     # per-read window starts: local column index multiple of qlen_b
+    # (window ids ascend in column order = the reference's candidate
+    # insertion order, which decides update_aln ties)
     qw = jnp.maximum(qlens, 1)[:, None]
-    ws = (u[None, :] % qw) == 0
-    ws = ws | ~valid[None, :]
+    ws = ((u[None, :] % qw) == 0) & valid[None, :]
+    seg = jnp.cumsum(ws.astype(jnp.int32), axis=1) - 1  # (B, R) window id
+    seg = jnp.where(valid[None, :] & (seg >= 0), seg, NS - 1)
+    seg = jnp.minimum(seg, NS - 1)
 
-    jj = jnp.broadcast_to(j[None, :], lr.shape)
-    _, m, a = jax.lax.associative_scan(_seg_combine, (ws, lr, jj), axis=1)
-
-    # window ends: next column starts a new window, or last column
-    we = jnp.concatenate([ws[:, 1:], jnp.ones((B, 1), dtype=bool)], axis=1)
-    we = we & valid[None, :]
-    wm = jnp.where(we, m, BIG)
+    seg_min = jax.vmap(
+        lambda d, s: jax.ops.segment_min(d, s, num_segments=NS)
+    )
+    wm = seg_min(lr, seg)                        # (B, NS) per-window min
+    mcol = jnp.take_along_axis(wm, seg, axis=1)  # min broadcast per column
+    # first-min-wins within a window (strict < scan, sigfish.c:895)
+    cand = jnp.where(lr == mcol, jnp.broadcast_to(j[None, :], lr.shape), R)
+    a = seg_min(cand.astype(jnp.int32), seg)     # (B, NS) first argmin
+    wm = wm.at[:, NS - 1].set(BIG)               # trash segment never wins
+    wm = jnp.where(jnp.isfinite(wm), wm, BIG)    # empty segments -> BIG
 
     top_s = []
     top_p = []
@@ -115,7 +124,7 @@ def device_topk_candidates(
     for _ in range(k):
         rev = wm[:, ::-1]
         ar = jnp.argmin(rev, axis=1)
-        pick = R - 1 - ar  # latest window wins ties (update_aln semantics)
+        pick = NS - 1 - ar  # latest window wins ties (update_aln semantics)
         sc = jnp.take_along_axis(wm, pick[:, None], axis=1)[:, 0]
         am = jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
         am = jnp.where(sc >= BIG, -1, am)

@@ -526,7 +526,7 @@ class Core:
                 jnp.take(scores, rows_dev, axis=0),
                 jnp.take(qlens_dev, rows_dev),
                 self.u_dev, self.valid_dev, R, k=5, reindex=reindex,
-                pack=True,
+                pack=True, n_tracks=len(self.tracks),
             )
             _start_host_copy(cpacked)
             handle["clip_rows"] = clip_rows
