@@ -57,18 +57,17 @@ def build_column_maps(
     return u, valid
 
 
-@partial(jax.jit, static_argnames=("R", "k", "reindex", "pack", "min_q", "n_tracks"))
+@partial(jax.jit, static_argnames=("R", "W", "k", "reindex", "pack"))
 def device_topk_candidates(
     scores: jnp.ndarray,   # (B, D) diag scores (reindex=True) or (B, R) last row
     qlens: jnp.ndarray,    # (B,) i32
     u: jnp.ndarray,        # (R,) i32 local column index per concat column
     valid: jnp.ndarray,    # (R,) bool
     R: int,
+    W: int = 512,          # static upper bound on the window width (>= max qlen)
     k: int = 5,
     reindex: bool = True,
     pack: bool = False,
-    min_q: int = 25,
-    n_tracks: int = 512,
 ):
     """Returns (top_scores (B, k) f32 best-first, top_pos (B, k) i32 global
     concat-column argmin positions; empty slots have score BIG and pos -1).
@@ -77,62 +76,88 @@ def device_topk_candidates(
     full-length fast path) this handles per-read window widths -- it is
     the device path for CLIPPED reads (qlen != W, ref sigfish.c:457-461
     short-read semantics), replacing the O(R*qlen) per-read host
-    recompute. Per-read window ids come from a cumsum over window-start
-    flags; per-window (min, first-argmin) from two vmapped segment_min
-    scatters. These lower to small standard HLO (the earlier
-    associative_scan formulation compiled pathologically on real TPU
-    backends). min_q bounds the segment count: the reference never maps
-    queries shorter than 25 events (sigfish.c:450-456), so a track of
-    size s has at most ceil(s/min_q) windows. With pack=True returns one
-    (B, 2k) f32 buffer (positions bitcast; see unpack_top5)."""
+    recompute. The segmented min scan is a hand-rolled Hillis-Steele
+    over log2(R) static shifts: pure elementwise select/min steps, no
+    scatter (TPU scatters serialize: a segment_min formulation ran
+    680 ms/call; lax.associative_scan compiled pathologically on the
+    TPU backend). Only the window MIN rides the scan; the k winners'
+    first-min positions are recovered afterwards from a (B, k, W)
+    windowed gather -- strict-< first-occurrence, bitwise equality
+    (sigfish.c:895 semantics). With pack=True returns one (B, 2k) f32
+    buffer (positions bitcast; see unpack_top5)."""
     B = scores.shape[0]
-    j = jnp.arange(R, dtype=jnp.int32)
     if reindex:
-        idx = j[None, :] + (qlens[:, None] - 1)
-        lr = jnp.take_along_axis(scores, idx, axis=1)
+        # diag->column reindex is a per-row LEFT SHIFT by qlen-1
+        # (< W <= D-R+1, so no wrapped element reaches column < R).
+        # A (B, R) take_along_axis gather here cost ~150 ms/call on TPU
+        # (gathers serialize); the binary-decomposed conditional roll is
+        # log2(W) elementwise selects instead.
+        sh = jnp.maximum(qlens, 1) - 1
+        x = scores
+        step = 1
+        while step < W:
+            bit = (sh & step) > 0
+            x = jnp.where(bit[:, None], jnp.roll(x, -step, axis=1), x)
+            step *= 2
+        lr = x[:, :R]
     else:
         lr = scores[:, :R]
     lr = jnp.where(valid[None, :], lr, BIG)
 
-    # static bound on windows per read: every track contributes at most
-    # ceil(size/min_q) <= size/min_q + 1 windows; padding columns all
-    # land in one trash segment. +2 covers the trash slot and rounding.
-    NS = R // max(min_q, 1) + n_tracks + 2
-    # per-read window starts: local column index multiple of qlen_b
-    # (window ids ascend in column order = the reference's candidate
-    # insertion order, which decides update_aln ties)
+    # per-read window starts: local column index multiple of qlen_b;
+    # invalid columns also start a "window" so no scan state crosses a
+    # track/pad boundary
     qw = jnp.maximum(qlens, 1)[:, None]
-    ws = ((u[None, :] % qw) == 0) & valid[None, :]
-    seg = jnp.cumsum(ws.astype(jnp.int32), axis=1) - 1  # (B, R) window id
-    seg = jnp.where(valid[None, :] & (seg >= 0), seg, NS - 1)
-    seg = jnp.minimum(seg, NS - 1)
+    ws = ((u[None, :] % qw) == 0) | ~valid[None, :]
 
-    seg_min = jax.vmap(
-        lambda d, s: jax.ops.segment_min(d, s, num_segments=NS)
-    )
-    wm = seg_min(lr, seg)                        # (B, NS) per-window min
-    mcol = jnp.take_along_axis(wm, seg, axis=1)  # min broadcast per column
-    # first-min-wins within a window (strict < scan, sigfish.c:895)
-    cand = jnp.where(lr == mcol, jnp.broadcast_to(j[None, :], lr.shape), R)
-    a = seg_min(cand.astype(jnp.int32), seg)     # (B, NS) first argmin
-    wm = wm.at[:, NS - 1].set(BIG)               # trash segment never wins
-    wm = jnp.where(jnp.isfinite(wm), wm, BIG)    # empty segments -> BIG
+    # inclusive segmented min scan, left to right: at offset d, element
+    # j absorbs element j-d unless a segment start lies inside
+    # (j-d, j] (tracked by the accumulated flag)
+    f = ws
+    m = lr
+    d = 1
+    while d < R:
+        fL = jnp.pad(f[:, :-d], ((0, 0), (d, 0)), constant_values=True)
+        mL = jnp.pad(m[:, :-d], ((0, 0), (d, 0)), constant_values=BIG)
+        m = jnp.where(f, m, jnp.minimum(m, mL))
+        f = f | fL
+        d *= 2
+
+    # window ends: next column starts a new window, or last column
+    we = jnp.concatenate([ws[:, 1:], jnp.ones((B, 1), dtype=bool)], axis=1)
+    we = we & valid[None, :]
+    wm = jnp.where(we, m, BIG)
 
     top_s = []
-    top_p = []
+    top_e = []
     rows = jnp.arange(B)
     for _ in range(k):
         rev = wm[:, ::-1]
         ar = jnp.argmin(rev, axis=1)
-        pick = NS - 1 - ar  # latest window wins ties (update_aln semantics)
+        pick = R - 1 - ar  # latest window wins ties (update_aln semantics)
         sc = jnp.take_along_axis(wm, pick[:, None], axis=1)[:, 0]
-        am = jnp.take_along_axis(a, pick[:, None], axis=1)[:, 0]
-        am = jnp.where(sc >= BIG, -1, am)
         top_s.append(sc)
-        top_p.append(am)
+        top_e.append(pick.astype(jnp.int32))
         wm = wm.at[rows, pick].set(BIG)
-    ts = jnp.stack(top_s, axis=1)
-    tp = jnp.stack(top_p, axis=1)
+    ts = jnp.stack(top_s, axis=1)    # (B, k) winner scores
+    te = jnp.stack(top_e, axis=1)    # (B, k) winner window END columns
+
+    # recover each winner's first-min position: window start from the
+    # end column's local index, then the first bitwise-equal value in a
+    # W-wide gather (q <= W for clipped reads)
+    u_pick = jnp.take(u, te)                          # (B, k) local idx
+    start = te - (u_pick % jnp.maximum(qlens, 1)[:, None])
+    lrp = jnp.pad(lr, ((0, 0), (0, W)), constant_values=BIG)
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    gidx = start[:, :, None] + lanes[None, None, :]   # (B, k, W)
+    vals = jnp.take_along_axis(
+        lrp[:, None, :], jnp.minimum(gidx, R + W - 1), axis=2
+    )
+    inwin = gidx <= te[:, :, None]
+    hit = (vals == ts[:, :, None]) & inwin
+    first = jnp.argmax(hit, axis=2).astype(jnp.int32)  # first True
+    tp = jnp.where(ts >= BIG, -1, start + first)
+
     if pack:
         return jnp.concatenate(
             [ts, jax.lax.bitcast_convert_type(tp.astype(jnp.int32), jnp.float32)],

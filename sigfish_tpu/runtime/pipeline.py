@@ -525,8 +525,8 @@ class Core:
             cpacked = device_topk_candidates(
                 jnp.take(scores, rows_dev, axis=0),
                 jnp.take(qlens_dev, rows_dev),
-                self.u_dev, self.valid_dev, R, k=5, reindex=reindex,
-                pack=True, n_tracks=len(self.tracks),
+                self.u_dev, self.valid_dev, R, W=W, k=5, reindex=reindex,
+                pack=True,
             )
             _start_host_copy(cpacked)
             handle["clip_rows"] = clip_rows
