@@ -220,7 +220,10 @@ def _decompress_record(blob: bytes, method: str) -> bytes:
     if method == "none":
         return blob
     if method == "zlib":
-        return zlib.decompress(blob)
+        try:
+            return zlib.decompress(blob)
+        except zlib.error as e:
+            raise ValueError(f"corrupt zlib record: {e}") from e
     if method == "zstd":
         try:
             import zstandard  # type: ignore

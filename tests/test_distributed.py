@@ -126,3 +126,38 @@ def test_compute_host_ranges_properties(tmp_path):
                     sf.seek_record(r.file_offset, r.rec_start)
                     rec = sf.decode_record(sf.read_next_blob())
                     assert rec.read_id == f"r{r.rec_start}"
+
+
+def test_multiprocess_rna_byte_identical(tmp_path):
+    """RNA through the distributed runtime: polyA autodetect, truncated
+    3'-end tracks, negative ref_st_offset coordinates and the RNA query
+    reversal all survive the per-host range split + ordered merge."""
+    fa = "/root/reference/test/rnasequin_sequences_2.4.fa"
+    bl = "/root/reference/test/sequin_rna.blow5"
+    extra = ["--rna", "-q", "500", "-p", "-1"]
+
+    out = str(tmp_path / "single_rna.paf")
+    r = subprocess.run(
+        [sys.executable, "-m", "sigfish_tpu.cli", "dtw", fa, bl, "-o", out]
+        + extra,
+        env=_env(), capture_output=True, cwd="/root/repo", timeout=900,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    single = open(out).read()
+
+    port = _free_port()
+    outs = [str(tmp_path / f"rh{i}.paf") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "sigfish_tpu.cli", "dtw", fa, bl,
+             "--hosts", "2", "--host-id", str(i),
+             "--coordinator", f"localhost:{port}", "-o", outs[i]] + extra,
+            env=_env(), stderr=subprocess.PIPE, cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-2000:]}"
+    assert open(outs[0]).read() == single
+    assert len(single.splitlines()) == 8
