@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Randomized differential parity fuzzing vs the C reference binary.
+
+Each trial generates a random workload -- FASTA (1-5 contigs of random
+length), BLOW5 (model-derived reads from random positions/strands,
+pure-noise reads, clipped short reads) -- plus a random legal flag
+combination, runs both the oracle and this build, and byte-diffs the
+output. Catches parity edges the fixed 23-case matrix misses (mapq
+boundaries, candidate ties, window-truncation corners, degraded reads).
+
+Requires the oracle at /tmp/refbuild/sigfish and the exported model
+TSVs at /tmp/sigfish_models (see scripts/parity_oracle.sh header).
+
+Usage: python scripts/parity_fuzz.py [n_trials] [base_seed]
+Exit nonzero on any diff. ~4 s per DNA trial, ~8 s per RNA trial.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ORACLE = os.environ.get("ORACLE", "/tmp/refbuild/sigfish")
+DNA_TSV = "/tmp/sigfish_models/r9.4_dna_6mer.tsv"
+RNA_TSV = "/tmp/sigfish_models/r9.4_rna_5mer.tsv"
+
+DIGI, RANGE, OFF, RATE = 8192.0, 1400.0, 5.0, 4000.0
+
+
+def gen_workload(rng: np.random.Generator, rna: bool, d: str):
+    from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
+    from sigfish_tpu.models.genref import _seq_bytes, kmer_ranks, reverse_complement
+    from sigfish_tpu.models.pore_model import (
+        MODEL_ID_DNA_R9,
+        MODEL_ID_RNA_R9,
+        load_builtin_model,
+    )
+
+    model = load_builtin_model(MODEL_ID_RNA_R9 if rna else MODEL_ID_DNA_R9)
+    k = model.kmer_size
+    n_ctg = int(rng.integers(1, 6))
+    seqs = {}
+    for c in range(n_ctg):
+        L = int(rng.integers(max(300, k + 50), 3000))
+        seqs[f"c{c}"] = "".join("ACGT"[b] for b in rng.integers(0, 4, L))
+    fa = os.path.join(d, "ref.fa")
+    with open(fa, "w") as f:
+        for n, s in seqs.items():
+            f.write(f">{n}\n{s}\n")
+
+    def levels(seq, start, n_ev):
+        ranks = kmer_ranks(_seq_bytes(seq[start : start + n_ev + k - 1]), k,
+                           warn_non_acgt=False)
+        return model.level_mean[ranks]
+
+    def to_adc(pa):
+        dwell = int(rng.integers(8, 30 if rna else 14))
+        dw = rng.integers(dwell - 2, dwell + 3, size=pa.size)
+        x = np.repeat(pa, dw).astype(np.float64)
+        x += rng.normal(0, 1.5, x.size)
+        return np.clip(np.rint(x * DIGI / RANGE - OFF), -30000, 30000).astype(np.int16)
+
+    bl = os.path.join(d, "reads.blow5")
+    n_reads = int(rng.integers(6, 25))
+    with Slow5Writer(
+        bl, header_data=[{"experiment_type": "rna" if rna else "genomic_dna"}]
+    ) as w:
+        for i in range(n_reads):
+            kind = rng.random()
+            if kind < 0.6:  # model-derived mappable read
+                name = f"c{int(rng.integers(0, n_ctg))}"
+                seq = seqs[name]
+                if (not rna) and rng.random() < 0.5:
+                    seq = reverse_complement(seq)
+                n_ev = int(rng.integers(80, 400))
+                n_ev = min(n_ev, len(seq) - k)
+                start = int(rng.integers(0, len(seq) - n_ev - k + 1))
+                lv = levels(seq, start, n_ev)
+                if rna:
+                    lv = lv[::-1]
+                sig = to_adc(lv)
+            elif kind < 0.8:  # pure noise
+                n = int(rng.integers(400, 9000))
+                sig = rng.integers(300, 900, n).astype(np.int16)
+            else:  # short / clipped
+                n = int(rng.integers(30, 1200))
+                sig = rng.integers(300, 900, n).astype(np.int16)
+            w.write_record(
+                Slow5Record(
+                    read_id=f"f{i}", read_group=0, digitisation=DIGI,
+                    offset=OFF, range=RANGE, sampling_rate=RATE,
+                    raw_signal=sig,
+                )
+            )
+    return fa, bl
+
+
+def gen_flags(rng: np.random.Generator, rna: bool) -> list[str]:
+    flags: list[str] = []
+    if rna:
+        flags.append("--rna")
+        q = int(rng.choice([50, 120, 250, 500]))
+        flags += ["-q", str(q)]
+        r = rng.random()
+        if r < 0.3:
+            flags += ["-p", "-1"]
+        else:
+            flags += ["-p", str(int(rng.integers(0, 80)))]
+            if rng.random() < 0.3:
+                flags.append("--from-end")
+        if rng.random() < 0.3:
+            flags.append("--full-ref")
+        if rng.random() < 0.2:
+            flags.append("--dtw-std")
+    else:
+        q = int(rng.choice([40, 100, 250]))
+        flags += ["-q", str(q), "-p", str(int(rng.integers(0, 80)))]
+        if rng.random() < 0.3:
+            flags.append("--from-end")
+    if rng.random() < 0.3:
+        flags.append("--sam")
+    if rng.random() < 0.3:
+        flags += ["-K", str(int(rng.integers(2, 9)))]
+    return flags
+
+
+def run_trial(seed: int) -> bool:
+    rng = np.random.default_rng(seed)
+    rna = bool(rng.random() < 0.4)
+    with tempfile.TemporaryDirectory() as d:
+        fa, bl = gen_workload(rng, rna, d)
+        flags = gen_flags(rng, rna)
+        tsv = RNA_TSV if rna else DNA_TSV
+        cmd_common = [fa, bl, "--kmer-model", tsv] + flags
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        ro = subprocess.run(
+            [ORACLE, "dtw", "-t", "1"] + cmd_common,
+            capture_output=True, timeout=600,
+        )
+        rs = subprocess.run(
+            [sys.executable, "-m", "sigfish_tpu.cli", "dtw"] + cmd_common,
+            capture_output=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if ro.returncode != 0:
+            # the reference crashes on some degraded inputs (PARITY.md
+            # Robustness); we must still exit 0 -- skip the byte diff
+            ok = rs.returncode == 0
+            print(f"seed {seed}: oracle crashed (rc={ro.returncode}), "
+                  f"ours rc={rs.returncode} [{'OK' if ok else 'FAIL'}] "
+                  f"{'rna' if rna else 'dna'} {' '.join(flags)}")
+            return ok
+        ok = rs.returncode == 0 and ro.stdout == rs.stdout
+        status = "OK" if ok else "DIFF"
+        print(f"seed {seed}: {status}  {'rna' if rna else 'dna'} "
+              f"{' '.join(flags)}  ({len(ro.stdout.splitlines())} lines)")
+        if not ok:
+            o = ro.stdout.decode().splitlines()
+            u = rs.stdout.decode().splitlines()
+            for a, b in zip(o, u):
+                if a != b:
+                    print(f"  oracle: {a}\n  ours:   {b}")
+                    break
+            if len(o) != len(u):
+                print(f"  line counts: oracle {len(o)} vs ours {len(u)}")
+            if rs.returncode != 0:
+                print("  stderr:", rs.stderr.decode()[-500:])
+        return ok
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    fails = 0
+    for t in range(n):
+        if not run_trial(base + t):
+            fails += 1
+    print(f"== {n - fails}/{n} trials byte-identical ==")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -10,8 +10,9 @@
 #   2. accuracy gates via the eval subtool on both in-repo datasets
 #      (DNA mapped>=100% correct>=85%; RNA mapped>=100% correct>=75%,
 #       thresholds from test/test.sh:54-55,66-67)
-#   3. [full] scripts/parity_oracle.sh -- 24-case byte-diff vs the C
+#   3. [full] scripts/parity_oracle.sh -- 23-case byte-diff vs the C
 #      binary (requires the /tmp/refbuild oracle, see that script)
+#      + scripts/parity_fuzz.py, 10 fixed-seed randomized differentials
 #   4. [full] bench.py JSON (real device)
 set -u
 cd "$(dirname "$0")/.."
@@ -57,6 +58,14 @@ if [ "${1:-}" = "full" ]; then
     grep -q "0 diff" "$TMP/parity.txt" || FAIL=1
   else
     echo "SKIP: /tmp/refbuild/sigfish oracle not built (see parity_oracle.sh header)"
+  fi
+
+  note "stage 3b: randomized differential fuzz (fixed seeds)"
+  if [ -x /tmp/refbuild/sigfish ]; then
+    python scripts/parity_fuzz.py 10 2000 || FAIL=1
+    python scripts/parity_fuzz_eval.py 10 6000 || FAIL=1
+  else
+    echo "SKIP: oracle not built"
   fi
 
   note "stage 4: bench"

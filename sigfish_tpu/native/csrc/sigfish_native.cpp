@@ -433,9 +433,12 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
     memset(tstat1, 0, sizeof(float) * nsample);
     sums[0] = 0.0; sumsqs[0] = 0.0;
     for (int64_t i = 0; i < nsample; i++) {
-        double v = (double)sig[i];
-        sums[i + 1] = sums[i] + v;
-        sumsqs[i + 1] = sumsqs[i] + v * v;
+        // events.c:303-305: the square is a FLOAT multiply (data[i] *
+        // data[i] with float data), rounded to f32 BEFORE the double
+        // add -- squaring in f64 flips t-stat boundaries (fuzz 1090)
+        float f = sig[i];
+        sums[i + 1] = sums[i] + (double)f;
+        sumsqs[i + 1] = sumsqs[i] + (double)(f * f);
     }
 
     // two sliding Welch t-stats: bit-exact port of events.c:319-368;

@@ -52,13 +52,18 @@ class EventTable:
 def compute_prefix_sums(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Cumulative sum / sum-of-squares, element i excludes data[i].
 
-    ref: events.c:297-307 (double accumulators over float data).
+    ref: events.c:297-307 (double accumulators over float data). NOTE
+    the square `data[i] * data[i]` is a FLOAT multiply in the reference
+    (rounded to f32 before the double add) -- squaring in f64 shifts
+    sumsq by ulps, which cancellation in the variance terms amplifies
+    into wrong stdv values and occasional t-stat boundary flips (found
+    by differential fuzzing, seed 1090).
     """
-    d = data.astype(np.float64)
-    sums = np.zeros(d.size + 1, dtype=np.float64)
-    sumsqs = np.zeros(d.size + 1, dtype=np.float64)
-    np.cumsum(d, out=sums[1:])
-    np.cumsum(d * d, out=sumsqs[1:])
+    d32 = data.astype(np.float32)
+    sums = np.zeros(d32.size + 1, dtype=np.float64)
+    sumsqs = np.zeros(d32.size + 1, dtype=np.float64)
+    np.cumsum(d32.astype(np.float64), out=sums[1:])
+    np.cumsum((d32 * d32).astype(np.float64), out=sumsqs[1:])
     return sums, sumsqs
 
 

@@ -20,6 +20,15 @@ import math
 import numpy as np
 
 
+class DegenerateAlignment(Exception):
+    """An alignment state on which the C reference aborts (assert).
+
+    Raised by the ss-tag builder for maps the reference's asserts at
+    sigfish.c:669,677,693 + the f5c-derived move-string invariants
+    reject; callers degrade gracefully instead of crashing the run.
+    """
+
+
 def _c_round(x: float) -> int:
     return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
@@ -76,7 +85,11 @@ def r2qevent_map_to_ss(
 
     if rna:
         end = int(m[n_kmers - 1, 1])
-        assert end != -1
+        if end == -1:
+            # Degenerate map (last reference position unmatched). The C
+            # binary aborts here (assert at sigfish.c:669); we degrade
+            # gracefully per the robustness contract (PARITY.md).
+            raise DegenerateAlignment("RNA r2q map ends in a deletion")
         real = m[:, 0] != -1
         m[real, 0] = end - m[real, 0]
         m[real, 1] = end - m[real, 1]
@@ -110,12 +123,14 @@ def r2qevent_map_to_ss(
             ci = sig_start
         mi = sig_start - ci
         ci += mi
-        assert mi >= 0
+        if mi < 0:
+            raise DegenerateAlignment("non-monotonic signal coordinates")
         if mi:
             parts.append(f"{mi}I")
         mi = sig_end - sig_start
         ci += mi
-        assert mi >= 0
+        if mi < 0:
+            raise DegenerateAlignment("non-monotonic signal coordinates")
         if mi:
             parts.append(f"{mi},")
     return "".join(parts)
@@ -141,7 +156,15 @@ def sam_line(
     flag = 0 if strand == "+" else 16
     post_st = pos_end if rna else pos_st
     post_end = pos_st if rna else pos_end
-    ss = r2qevent_map_to_ss(r2q_map, qstart, event_start, event_length, rna)
+    try:
+        ss = r2qevent_map_to_ss(r2q_map, qstart, event_start, event_length, rna)
+    except DegenerateAlignment as e:
+        # The C binary aborts on these maps; emit the line with an empty
+        # ss tag instead (PARITY.md "Robustness beyond the reference").
+        from .utils.log import log_warning
+
+        log_warning(f"degenerate alignment for {read_id}: {e}; ss tag omitted")
+        ss = ""
     return (
         f"{read_id}\t{flag}\t{rname}\t{pos_st + 1}\t{mapq}\t"
         f"{qlen}M\t*\t0\t0\t*\t*\t"

@@ -84,3 +84,42 @@ def test_contig_shorter_than_k(tmp_path):
     assert len(lines) == 2
     for l in lines:
         assert l.split("\t")[5] == "real"
+
+
+def test_degenerate_rna_sam_map_does_not_crash(tmp_path):
+    """RNA --sam with an alignment whose r2q map ends in a deletion.
+
+    The C reference aborts on this state (assert at sigfish.c:669); we
+    emit the SAM line with an empty ss tag (fuzz seed 1006 regression).
+    """
+    from sigfish_tpu.output import DegenerateAlignment, r2qevent_map_to_ss
+
+    m = np.full((5, 2), -1, np.int32)
+    m[1] = (0, 2)  # interior match, last kmer unmatched
+    with pytest.raises(DegenerateAlignment):
+        r2qevent_map_to_ss(m, 0, np.arange(10), np.ones(10, np.float32), True)
+
+    # end-to-end: noise reads vs a tiny contig, RNA std-DTW SAM output
+    rng = np.random.default_rng(1006)
+    seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 400))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">c0\n{seq}\n")
+    recs = [
+        _rec(f"n{i}", rng.integers(300, 900, int(rng.integers(2000, 6000))))
+        for i in range(6)
+    ]
+    p = tmp_path / "r.blow5"
+    _write(p, recs, hdr=[{"experiment_type": "rna"}])
+    opt = Options(query_size=50, prefix_size=-1, dtw_std=True, sam=True,
+                  full_ref=True, rna=True)
+    core = Core(str(fa), str(p), opt)
+    out = io.StringIO()
+    run_dtw(core, out)
+    emitted = len([l for l in out.getvalue().splitlines()
+                   if l and not l.startswith("@")])
+    # every read either emitted or counted as ignored -- no crash
+    # (too_short reads are still mapped via the clipped path, as in the
+    # reference)
+    assert emitted + core.ignored == 6
+    assert emitted >= 4
+    core.close()
