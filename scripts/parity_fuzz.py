@@ -13,6 +13,8 @@ TSVs at /tmp/sigfish_models (see scripts/parity_oracle.sh header).
 
 Usage: python scripts/parity_fuzz.py [n_trials] [base_seed]
 Exit nonzero on any diff. ~4 s per DNA trial, ~8 s per RNA trial.
+Set SIGFISH_FUZZ_ENGINE=scan (or pallas/native) to fuzz a specific
+sDTW engine; default is the auto-selected one (native on CPU hosts).
 """
 
 from __future__ import annotations
@@ -68,9 +70,12 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
 
     bl = os.path.join(d, "reads.blow5")
     n_reads = int(rng.integers(6, 25))
-    with Slow5Writer(
-        bl, header_data=[{"experiment_type": "rna" if rna else "genomic_dna"}]
-    ) as w:
+    # sometimes two read groups (exercises per-group header_get +
+    # multi-group auto-detect warnings, ref sigfish.c:118-135)
+    n_grp = 2 if rng.random() < 0.2 else 1
+    hdr = [{"experiment_type": "rna" if rna else "genomic_dna"}
+           for _ in range(n_grp)]
+    with Slow5Writer(bl, header_data=hdr) as w:
         for i in range(n_reads):
             kind = rng.random()
             if kind < 0.6:  # model-derived mappable read
@@ -93,9 +98,9 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
                 sig = rng.integers(300, 900, n).astype(np.int16)
             w.write_record(
                 Slow5Record(
-                    read_id=f"f{i}", read_group=0, digitisation=DIGI,
-                    offset=OFF, range=RANGE, sampling_rate=RATE,
-                    raw_signal=sig,
+                    read_id=f"f{i}", read_group=int(rng.integers(0, n_grp)),
+                    digitisation=DIGI, offset=OFF, range=RANGE,
+                    sampling_rate=RATE, raw_signal=sig,
                 )
             )
     return fa, bl
@@ -114,6 +119,8 @@ def gen_flags(rng: np.random.Generator, rna: bool) -> list[str]:
             flags += ["-p", str(int(rng.integers(0, 80)))]
             if rng.random() < 0.3:
                 flags.append("--from-end")
+            elif rng.random() < 0.15:
+                flags.append("--invert")  # RNA-only, not with -p -1/--from-end
         if rng.random() < 0.3:
             flags.append("--full-ref")
         if rng.random() < 0.2:
@@ -138,6 +145,8 @@ def run_trial(seed: int) -> bool:
         flags = gen_flags(rng, rna)
         tsv = RNA_TSV if rna else DNA_TSV
         cmd_common = [fa, bl, "--kmer-model", tsv] + flags
+        eng = os.environ.get("SIGFISH_FUZZ_ENGINE")
+        ours_extra = ["--engine", eng] if eng else []
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["PALLAS_AXON_POOL_IPS"] = ""
@@ -146,7 +155,8 @@ def run_trial(seed: int) -> bool:
             capture_output=True, timeout=600,
         )
         rs = subprocess.run(
-            [sys.executable, "-m", "sigfish_tpu.cli", "dtw"] + cmd_common,
+            [sys.executable, "-m", "sigfish_tpu.cli", "dtw"]
+            + cmd_common + ours_extra,
             capture_output=True, timeout=600, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )

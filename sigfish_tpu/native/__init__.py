@@ -115,6 +115,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.sf_subsequence_lastrow.restype = None
+    lib.sf_std_lastrow.argtypes = lib.sf_subsequence_lastrow.argtypes
+    lib.sf_std_lastrow.restype = None
     lib.sf_pa_from_i16.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_void_p,
@@ -209,6 +211,26 @@ def subsequence_lastrow(x: np.ndarray, y: np.ndarray,
         out = np.empty(y.size, np.float32)
     scratch = np.empty(y.size, np.float32)
     lib.sf_subsequence_lastrow(
+        x.ctypes.data, x.size, y.ctypes.data, y.size,
+        out.ctypes.data, scratch.ctypes.data,
+    )
+    return out
+
+
+def std_lastrow(x: np.ndarray, y: np.ndarray,
+                out: np.ndarray | None = None):
+    """Last row of the boundary-anchored standard DTW (--dtw-std) with
+    O(m) memory, exact scalar order (cdtw.c:70-94). Returns the (m,)
+    row or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    if out is None:
+        out = np.empty(y.size, np.float32)
+    scratch = np.empty(y.size, np.float32)
+    lib.sf_std_lastrow(
         x.ctypes.data, x.size, y.ctypes.data, y.size,
         out.ctypes.data, scratch.ctypes.data,
     )

@@ -212,6 +212,41 @@ void sf_subsequence_lastrow(const float* __restrict x, int32_t n,
     if (prev != lastrow) memcpy(lastrow, prev, sizeof(float) * m);
 }
 
+// Last-row-only STANDARD DTW (boundary anchored) with O(m) memory:
+// row 0 and column 0 are cumulative (ref std_dtw cdtw.c:70-94, used by
+// --dtw-std where only the per-track corner cell becomes a candidate,
+// sigfish.c:914-925). Exact scalar op order -- the lax.scan engine's
+// prefix-min reformulation reassociates f32 adds and drifts by ulps,
+// which flips printf digits on fuzzed inputs (seeds 3003/3031).
+void sf_std_lastrow(const float* __restrict x, int32_t n,
+                    const float* __restrict y, int32_t m,
+                    float* __restrict lastrow, float* scratch /* m */) {
+    float* prev = scratch;
+    float* cur = lastrow;
+    prev[0] = fabsf(x[0] - y[0]);
+    for (int32_t j = 1; j < m; j++) prev[j] = fabsf(x[0] - y[j]) + prev[j - 1];
+    if (n == 1) {
+        memcpy(lastrow, prev, sizeof(float) * m);
+        return;
+    }
+    float col0 = prev[0];
+    for (int32_t i = 1; i < n; i++) {
+        const float xi = x[i];
+        col0 = fabsf(xi - y[0]) + col0;
+        cur[0] = col0;
+        float up_acc = col0;
+        for (int32_t j = 1; j < m; j++) {
+            float mn = prev[j];
+            if (prev[j - 1] < mn) mn = prev[j - 1];
+            if (up_acc < mn) mn = up_acc;
+            up_acc = fabsf(xi - y[j]) + mn;
+            cur[j] = up_acc;
+        }
+        float* t = prev; prev = cur; cur = t;
+    }
+    if (prev != lastrow) memcpy(lastrow, prev, sizeof(float) * m);
+}
+
 // Fused window recompute + backtrack (anti-diagonal DP for subsequence;
 // row-major for std). Returns the path length (px/py must hold n+m
 // entries), or -1 on allocation failure.

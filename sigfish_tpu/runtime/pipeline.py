@@ -575,6 +575,41 @@ class Core:
             clipped_done=True,
         )
 
+    def _native_std_corners(
+        self, qb: np.ndarray, qlens: np.ndarray, n_live: int | None = None
+    ) -> np.ndarray:
+        """--dtw-std scoring on the CPU engine: per-(read, track) corner
+        cell of the boundary-anchored DTW (ref sigfish.c:914-925), in
+        the reference's exact scalar op order (native two-row DP;
+        threaded -- native calls release the GIL)."""
+        from .. import native
+
+        B = qb.shape[0]
+        n = B if n_live is None else min(n_live, B)
+        nt = len(self.tracks)
+        corners = np.full((B, nt), np.float32(3.0e38))
+
+        def one(slot: int):
+            qlen = int(qlens[slot])
+            if qlen <= 0:
+                return
+            q = qb[slot, :qlen]
+            for t, track in enumerate(self.tracks):
+                if track.size:
+                    row = native.std_lastrow(q, track)
+                    if row is None:  # native lib unavailable: exact oracle
+                        from ..ops.sdtw_ref import std_dtw_cost
+
+                        row = np.asarray(std_dtw_cost(q, track))[-1]
+                    corners[slot, t] = row[-1]
+
+        if self._pool is not None and n > 1:
+            list(self._pool.map(one, range(n)))
+        else:
+            for slot in range(n):
+                one(slot)
+        return corners
+
     def _clipped_top5(self, query: np.ndarray):
         """Exact last row over every track for one clipped read (native
         two-row DP; Python-oracle fallback), then the host window scan."""
@@ -800,7 +835,8 @@ class PendingBatch:
     live: list
     qlens: np.ndarray | None = None
     handle: dict | None = None
-    last_row: np.ndarray | None = None  # --dtw-std path (host)
+    last_row: np.ndarray | None = None  # --dtw-std path (device engines)
+    std_corners: np.ndarray | None = None  # --dtw-std path (native engine)
     dtw_t0: float = 0.0
 
 
@@ -882,6 +918,11 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
     if not opt.dtw_std:
         # fused device path: only (B, 5) candidates cross the host link
         pending.handle = core.sdtw_candidates_submit(qb, qlens, onehot, n_live=nb)
+    elif core.engine == "native" and core.mesh is None:
+        # --dtw-std on the CPU engine: exact-scalar corner cells (the
+        # lax.scan engine's prefix-min reassociates f32 adds -> ulp
+        # drift that flips printf digits; fuzz seeds 3003/3031)
+        pending.std_corners = core._native_std_corners(qb, qlens, n_live=nb)
     else:
         pending.last_row = core.sdtw_run(qb, qlens, onehot, True)
     return pending
@@ -949,7 +990,11 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
                 lo = int(offs[t])
                 size = core.track_sizes[t]
                 if size > 0:
-                    cand_scores.append(float(last_row[slot, lo + size - 1]))
+                    if pending.std_corners is not None:
+                        s = float(pending.std_corners[slot, t])
+                    else:
+                        s = float(last_row[slot, lo + size - 1])
+                    cand_scores.append(s)
                     cand_pos.append(size - 1)
                     cand_track.append(t)
             best, d1, d2 = rank_candidates(

@@ -81,3 +81,22 @@ def test_find_adaptor_bounds(rna_recs):
     rec = rna_recs[0]
     ax, ay = find_adaptor(rec.raw_signal)
     assert 0 <= ax < ay <= rec.len_raw_signal
+
+
+def test_prefix_sumsq_squares_in_f32():
+    """The reference squares each sample with a FLOAT multiply before
+    the double accumulation (events.c:303-305); squaring in f64 shifts
+    event stdv through cancellation and can flip t-stat boundaries
+    (fuzz seed 1090 regression)."""
+    import numpy as np
+
+    from sigfish_tpu.ops.events import compute_prefix_sums
+
+    x = np.array([105.46875, 104.78516, 106.15234], dtype=np.float32)
+    _, sumsqs = compute_prefix_sums(x)
+    expected = np.cumsum([np.float64(np.float32(v * v)) for v in x])
+    assert np.array_equal(sumsqs[1:], expected)
+    # and it must NOT equal the f64-squared version for values whose
+    # square is inexact in f32
+    f64sq = np.cumsum(x.astype(np.float64) ** 2)
+    assert not np.array_equal(sumsqs[1:], f64sq)

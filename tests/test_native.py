@@ -80,3 +80,23 @@ def test_jnn_native_matches_python():
     finally:
         nat._lib = orig
     assert [(int(a), int(b)) for a, b in segs_nat] == segs_py
+
+
+def test_std_lastrow_exact_vs_scalar_oracle():
+    """sf_std_lastrow (the --dtw-std CPU-engine scorer) must equal the
+    exact scalar-order oracle bitwise, incl. degenerate shapes.
+    ref: std_dtw cdtw.c:70-94; fuzz seeds 3003/3031."""
+    from sigfish_tpu import native
+    from sigfish_tpu.ops.sdtw_ref import std_dtw_cost
+
+    if native.std_lastrow(np.ones(2, np.float32), np.ones(2, np.float32)) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    for n, m in ((1, 7), (2, 1), (50, 400), (13, 13), (250, 1000)):
+        q = rng.standard_normal(n).astype(np.float32)
+        y = rng.standard_normal(m).astype(np.float32)
+        row = native.std_lastrow(q, y)
+        ex = np.asarray(std_dtw_cost(q, y))[-1]
+        assert np.array_equal(row, ex), (n, m)
