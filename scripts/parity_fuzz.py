@@ -148,8 +148,12 @@ def run_trial(seed: int) -> bool:
         eng = os.environ.get("SIGFISH_FUZZ_ENGINE")
         ours_extra = ["--engine", eng] if eng else []
         env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PALLAS_AXON_POOL_IPS"] = ""
+        if eng == "pallas":
+            # the TPU leg: leave the platform alone (axon device)
+            env.pop("JAX_PLATFORMS", None)
+        else:
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
         ro = subprocess.run(
             [ORACLE, "dtw", "-t", "1"] + cmd_common,
             capture_output=True, timeout=600,
@@ -157,7 +161,8 @@ def run_trial(seed: int) -> bool:
         rs = subprocess.run(
             [sys.executable, "-m", "sigfish_tpu.cli", "dtw"]
             + cmd_common + ours_extra,
-            capture_output=True, timeout=600, env=env,
+            capture_output=True, env=env,
+            timeout=1800 if eng == "pallas" else 600,  # axon first-touch stall
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         if ro.returncode != 0:

@@ -2,6 +2,10 @@
 # At-scale differential parity vs the C reference (see parity_oracle.sh
 # header for oracle setup): replicated workloads, byte-diffed.
 set -u
+# CPU platform for the differential runs: byte-compare work, and each
+# fresh process on the axon backend pays a long first-touch stall
+export JAX_PLATFORMS=cpu
+export PALLAS_AXON_POOL_IPS=
 ORACLE=${ORACLE:-/tmp/refbuild/sigfish}
 REF=${REF:-/root/reference/test}
 DNA_TSV=${DNA_TSV:-/tmp/sigfish_models/r9.4_dna_6mer.tsv}

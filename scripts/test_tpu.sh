@@ -29,12 +29,14 @@ err = np.abs(lr_wf - lr_scan)[sel].max()
 assert err < 1e-3, f"wavefront vs scan err {err}"
 print(f"pallas-vs-scan max err: {err:.2e}  OK")
 
-# exact scalar spot-check on one track
+# exact scalar spot-check on one track: the wavefront kernel's per-cell
+# op order is the scalar order, so it must be BITWISE identical
+# (measured 0.0 on v5e; the scan engine is the ulp-drifting one)
 ex = np.asarray(subsequence_cost(queries[0], tracks[0]))[-1]
 lo = int(offs[0])
-err2 = np.abs(lr_wf[0, lo:lo+3000] - ex).max()
-assert err2 < 1e-3, err2
-print(f"pallas-vs-exact max err: {err2:.2e}  OK")
+assert np.array_equal(lr_wf[0, lo:lo+3000], ex), \
+    f"wavefront != exact scalar, max err {np.abs(lr_wf[0, lo:lo+3000] - ex).max():.2e}"
+print("pallas-vs-exact: bitwise identical  OK")
 EOF
 
 # carry-kernel variant (ring-mode building block): chained segments must

@@ -514,8 +514,17 @@ class Core:
         # dynamic window widths (segmented scan) instead of an O(R*qlen)
         # host DP per read (ref sigfish.c:457-461 short-read semantics).
         # Rows are padded to power-of-2 buckets to bound recompiles.
+        # SCAN engine only: its (B, R) scores are per-read qlen-1 rows
+        # (onehot-selected), so the clip pass reads real data. The
+        # wavefront kernel emits ONLY the uniform W-1 lane -- clipped
+        # rows have no row-(qlen-1) data on device, so they fall back to
+        # the exact host recompute in finish_batch (a device clip pass
+        # over the wavefront scores returned garbage-lane candidates;
+        # caught by the pallas-engine fuzz leg, seeds 9004/9005).
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
-        if clip_rows.size:
+        if clip_rows.size and self.use_pallas:
+            handle["clipped_done"] = False
+        elif clip_rows.size:
             bc = 1
             while bc < clip_rows.size:
                 bc *= 2
