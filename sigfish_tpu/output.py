@@ -33,6 +33,19 @@ def _c_round(x: float) -> int:
     return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
 
+def _c_round_i32(x: float) -> int:
+    """(int)round(x) with x86-64 cast semantics: nan/inf/out-of-range
+    doubles convert to INT_MIN (cvttsd2si "integer indefinite"). The
+    reference hits this when query_size == 0 makes residue inf
+    (sigfish.c:635 with qend-1 == qstart)."""
+    if math.isnan(x) or math.isinf(x):
+        return -2147483648
+    r = math.copysign(math.floor(abs(x) + 0.5), x)
+    if not -2147483648.0 <= r <= 2147483647.0:
+        return -2147483648
+    return int(r)
+
+
 def _fmt_f2(x: float) -> str:
     if math.isinf(x):
         return "inf" if x > 0 else "-inf"
@@ -56,13 +69,22 @@ def paf_line(
     mapq: int,
     query_size: int,
 ) -> str:
-    """ref: paf_str sigfish.c:628-660."""
-    block_len = float(pos_end - pos_st)
-    residue = block_len - score * block_len / query_size
+    """ref: paf_str sigfish.c:628-660.
+
+    residue/block_len are FLOAT (f32) arithmetic in the reference
+    (sigfish.c:634-635): emulate the exact op order
+    block_len - (score*block_len)/query_size in np.float32, including
+    query_size == 0 -> inf -> (int)round wrap (see _c_round_i32).
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        block_len = np.float32(pos_end - pos_st)
+        residue = block_len - np.float32(score) * block_len / np.float32(
+            query_size
+        )
     return (
         f"{read_id}\t{len_raw_signal}\t{start_raw_idx}\t{end_raw_idx}\t"
         f"{strand}\t{rname}\t{rlength}\t{pos_st}\t{pos_end}\t"
-        f"{_c_round(residue)}\t{_c_round(block_len)}\t{mapq}\t"
+        f"{_c_round_i32(float(residue))}\t{_c_round_i32(float(block_len))}\t{mapq}\t"
         f"tp:A:P\td1:f:{_fmt_f2(score)}\td2:f:{_fmt_f2(score2)}\n"
     )
 

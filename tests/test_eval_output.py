@@ -77,6 +77,24 @@ def test_paf_line_format():
     assert f[14] == "d2:f:89.59"
 
 
+def test_paf_line_degenerate_query_size():
+    """query_size == 0 (qlen==1 reads, sigfish.c:807): the reference
+    computes residue in f32 -> inf/nan and (int)round() wraps to
+    INT_MIN via the x86 cast; must not raise (fuzz seed 12029)."""
+    line = paf_line(
+        "r", 227, 0, 27, "+", "c1", 2180, 749, 760, 5.0, float("inf"), 0, 0,
+    )
+    f = line.rstrip("\n").split("\t")
+    assert f[9] == "-2147483648"  # residue: -inf wrapped
+    assert f[10] == "11"
+    # block_len == 0 too: residue is nan, same wrap
+    line = paf_line(
+        "r", 227, 0, 27, "+", "c1", 2180, 749, 749, float("nan"),
+        float("nan"), 0, 0,
+    )
+    assert line.split("\t")[9] == "-2147483648"
+
+
 def test_eval_atoi_tolerant_parsing(tmp_path):
     """C atoi semantics (parse_paf_rec eval.c:80-152): float coordinates
     and trailing junk are truncated to their digit prefix, not errors."""
