@@ -39,6 +39,38 @@ assert np.array_equal(lr_wf[0, lo:lo+3000], ex), \
 print("pallas-vs-exact: bitwise identical  OK")
 EOF
 
+# clipped reads via shift_queries_for_clip: every qlen must be BITWISE
+# identical to the scalar oracle on hardware (the clip device pass)
+python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks
+from sigfish_tpu.ops.sdtw_pallas import (
+    prepare_wavefront_inputs, sdtw_wavefront, shift_queries_for_clip)
+from sigfish_tpu.ops.sdtw_ref import subsequence_cost
+
+rng = np.random.default_rng(2)
+W, Q, td, lane = 250, 256, 128, 249
+tracks = [rng.standard_normal(s).astype(np.float32) for s in (900, 400)]
+ref, reset, offs = pad_tracks(tracks, ckpt=128, align=W)
+R = ref.shape[0]
+qlist = [rng.standard_normal(n).astype(np.float32)
+         for n in (W, 1, 25, 107, W - 1)]
+qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
+qb_k, fs = shift_queries_for_clip(qb, qlens, lane)
+ds = np.asarray(sdtw_wavefront(
+    jnp.asarray(qb_k), *map(jnp.asarray, prepare_wavefront_inputs(
+        ref, reset, Q, td=td)[:2]), lane=lane, td=td,
+    start_mask=jnp.asarray(fs)))
+lr = ds[:, lane:lane + R]
+for b, q in enumerate(qlist):
+    for t, tr in enumerate(tracks):
+        lo = int(offs[t])
+        ex = subsequence_cost(q, tr)[-1]
+        assert np.array_equal(lr[b, lo:lo + tr.size], ex), \
+            f"clip qlen={q.size} track {t} not bit-exact"
+print("clip-shift pass: bitwise identical at every qlen  OK")
+EOF
+
 # carry-kernel variant (ring-mode building block): chained segments must
 # be bit-identical to one pass (Mosaic compile + exactness on hardware)
 python - <<'EOF'

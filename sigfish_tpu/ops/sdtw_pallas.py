@@ -53,13 +53,24 @@ def _shift_down(x: jnp.ndarray, fill: jnp.ndarray, lane_idx: jnp.ndarray) -> jnp
 
 
 def _wavefront_tile(
-    queries_ref, ypad_ref, rspad_ref, state, *, td: int, lane: int, unroll: int
+    queries_ref, ypad_ref, rspad_ref, state, *, td: int, lane: int, unroll: int,
+    fs_mask=None,
 ):
     """One TD-diagonal tile: advances (a1, a2, ywin, rswin) and returns
-    the new state plus the (B, td) emitted last-row-lane tile."""
+    the new state plus the (B, td) emitted last-row-lane tile.
+
+    fs_mask: optional (B, Q) bool, True at each read's FREE-START lane
+    (lane 0 when None). Clipped reads (qlen != lane+1) are served by
+    shifting their query up to end at the emitted lane and starting the
+    free-start row at lane s = lane+1-qlen: lanes < s compute garbage
+    that can never leak (information flows lane l-1 -> l only through
+    up/diag, and the free-start select overwrites lane s entirely), so
+    the one modified select is the whole cost."""
     B, Q = queries_ref.shape
     q = queries_ref[:]
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+    if fs_mask is None:
+        fs_mask = lane_b == 0
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
 
@@ -80,11 +91,11 @@ def _wavefront_tile(
         up = pltpu.roll(a1, shift=1, axis=1)
         ld = jnp.where(rs, BIG, jnp.minimum(a1, pltpu.roll(a2, shift=1, axis=1)))
         a_new = local + jnp.minimum(up, ld)
-        a_new = jnp.where(lane_b == 0, local, a_new)  # free start row
+        a_new = jnp.where(fs_mask, local, a_new)  # free start row
 
-        # emit the uniform last-row lane (qlen-1 == lane for every full-
-        # length read; clipped reads are recomputed exactly on the host):
-        # a static lane slice instead of a one-hot cross-lane reduction
+        # emit the uniform last-row lane (qlen-1 == lane for full-length
+        # reads; clipped reads land here too via the fs_mask query
+        # shift): a static lane slice, no cross-lane reduction
         lr = a_new[:, lane : lane + 1]  # (B, 1)
         acc = jnp.where(col_idx == t, lr, acc)
         return (a_new, a1, ywin, rswin, acc)
@@ -109,6 +120,7 @@ def _wavefront_kernel(
     queries_ref,  # (B, Q) VMEM
     ypad_ref,     # (1, TD) SMEM block: reference values for this tile
     rspad_ref,    # (1, TD) SMEM block: 1.0 at track starts
+    fsmask_ref,   # (B, Q) VMEM: 1.0 at each read's free-start lane
     # outputs
     out_ref,      # (B, TD) VMEM block for this tile
     # scratch
@@ -133,7 +145,8 @@ def _wavefront_kernel(
 
     state = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:])
     state, acc = _wavefront_tile(
-        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane, unroll=unroll
+        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane,
+        unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
     )
     a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = state
     out_ref[:] = acc
@@ -190,13 +203,18 @@ def sdtw_wavefront(
     td: int = 128,
     unroll: int = 8,
     interpret: bool = False,
+    start_mask: jnp.ndarray | None = None,  # (B, Q) f32, 1.0 at free-start lane
 ) -> jnp.ndarray:
     """Returns diag-indexed scores (B, D): out[b, d] = cost[lane, d-lane].
 
-    The emitted row is the STATIC lane (qlen-1 of full-length reads);
-    clipped reads (qlen != lane+1) must be recomputed on the host.
-    `out[:, lane : lane+R]` is the column-indexed last row.
-    interpret=True runs the Pallas interpreter (CPU tests).
+    The emitted row is the STATIC lane (qlen-1 of full-length reads).
+    Clipped reads (qlen != lane+1) ride the same emission: shift their
+    query values up to lanes [lane+1-qlen, lane] and pass start_mask
+    with 1.0 at lane+1-qlen (build both with shift_queries_for_clip).
+    With start_mask=None every read free-starts at lane 0 (the
+    full-length layout). `out[:, lane : lane+R]` is the column-indexed
+    last row either way. interpret=True runs the Pallas interpreter
+    (CPU tests).
     """
     B, Q = queries.shape
     D = ypad.shape[1]
@@ -204,6 +222,8 @@ def sdtw_wavefront(
     n_tiles = D // td
 
     assert td % unroll == 0
+    if start_mask is None:
+        start_mask = jnp.zeros((B, Q), jnp.float32).at[:, 0].set(1.0)
     return pl.pallas_call(
         functools.partial(_wavefront_kernel, td=td, lane=lane, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
@@ -212,6 +232,7 @@ def sdtw_wavefront(
             pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, td), lambda g: (0, g), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -224,7 +245,32 @@ def sdtw_wavefront(
             flops=12 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
         ),
         interpret=interpret,
-    )(queries, ypad, rspad)
+    )(queries, ypad, rspad, start_mask)
+
+
+def shift_queries_for_clip(
+    qb: np.ndarray, qlens: np.ndarray, lane: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side prep for clipped reads on the wavefront kernel.
+
+    Returns (qb_shifted, start_mask): each read whose qlen != lane+1 is
+    moved to lanes [lane+1-qlen, lane] so its last DP row lands on the
+    kernel's uniform emitted lane; start_mask carries 1.0 at the
+    free-start lane per read (lane 0 for full-length reads, whose
+    values are untouched)."""
+    qb2 = qb.copy()
+    mask = np.zeros_like(qb, dtype=np.float32)
+    mask[:, 0] = 1.0
+    W = lane + 1
+    for r in range(qb.shape[0]):
+        ql = int(qlens[r])
+        if 0 < ql < W:
+            s = W - ql
+            qb2[r, :] = 0.0
+            qb2[r, s : s + ql] = qb[r, :ql]
+            mask[r, 0] = 0.0
+            mask[r, s] = 1.0
+    return qb2, mask
 
 
 @functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))

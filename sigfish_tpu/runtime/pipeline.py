@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..io.blow5 import Slow5File, Slow5Record
@@ -56,7 +57,11 @@ from ..ops.candidates_dev import (
 )
 from ..ops.events import get_events
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
-from ..ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
+from ..ops.sdtw_pallas import (
+    prepare_wavefront_inputs,
+    sdtw_wavefront,
+    shift_queries_for_clip,
+)
 from ..ops.sdtw_ref import path_to_map, subsequence_cost_seeded, subsequence_path
 from ..output import paf_line, sam_line
 from ..utils import log_info, log_verbose, log_warning
@@ -476,6 +481,7 @@ class Core:
             )
             _start_host_copy(packed)
             return dict(packed=packed, qlens=qlens, B=B)
+        clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if self.use_pallas:
             Q = qb.shape[1]
             td = 128
@@ -484,12 +490,22 @@ class Core:
                     self.ref_cat, self.reset, Q, td=td
                 )
             ypad, rspad, D = self._wf_cache[Q]
+            if clip_rows.size:
+                # clipped reads ride the kernel's uniform emitted lane
+                # by shifting their query up to end at lane W-1 (the
+                # free-start lane moves with it via start_mask); their
+                # last rows come out column-indexed in the same static
+                # slice as everyone else's (ops/sdtw_pallas.py)
+                qb_k, fs_mask = shift_queries_for_clip(qb, qlens, W - 1)
+            else:
+                qb_k, fs_mask = qb, None
             scores = sdtw_wavefront(
-                jnp.asarray(qb),
+                jnp.asarray(qb_k),
                 jnp.asarray(ypad),
                 jnp.asarray(rspad),
                 lane=W - 1,
                 td=td,
+                start_mask=None if fs_mask is None else jnp.asarray(fs_mask),
             )
             reindex = True
         else:
@@ -514,27 +530,29 @@ class Core:
         # dynamic window widths (segmented scan) instead of an O(R*qlen)
         # host DP per read (ref sigfish.c:457-461 short-read semantics).
         # Rows are padded to power-of-2 buckets to bound recompiles.
-        # SCAN engine only: its (B, R) scores are per-read qlen-1 rows
-        # (onehot-selected), so the clip pass reads real data. The
-        # wavefront kernel emits ONLY the uniform W-1 lane -- clipped
-        # rows have no row-(qlen-1) data on device, so they fall back to
-        # the exact host recompute in finish_batch (a device clip pass
-        # over the wavefront scores returned garbage-lane candidates;
-        # caught by the pallas-engine fuzz leg, seeds 9004/9005).
-        clip_rows = np.where((qlens > 0) & (qlens != W))[0]
-        if clip_rows.size and self.use_pallas:
-            handle["clipped_done"] = False
-        elif clip_rows.size:
+        # Scan engine: its (B, R) scores are per-read qlen-1 rows
+        # (onehot-selected), so the clip pass reads them with the
+        # per-read diag reindex. Wavefront engine: the shift_queries_
+        # for_clip prep above lands every clipped read's last row on the
+        # SAME uniform W-1 lane as full-length reads, so the reindex is
+        # the static slice and the clip pass only re-derives the
+        # qlen-wide windows. (An earlier clip pass read the un-shifted
+        # wavefront scores -- a garbage lane for clipped rows; caught by
+        # the pallas-engine fuzz leg, seeds 9004/9005.)
+        if clip_rows.size:
             bc = 1
             while bc < clip_rows.size:
                 bc *= 2
             rows_pad = np.zeros(bc, dtype=np.int32)
             rows_pad[: clip_rows.size] = clip_rows
             rows_dev = jnp.asarray(rows_pad)
+            sub = jnp.take(scores, rows_dev, axis=0)
+            if self.use_pallas:
+                sub = jax.lax.slice_in_dim(sub, W - 1, W - 1 + R, axis=1)
             cpacked = device_topk_candidates(
-                jnp.take(scores, rows_dev, axis=0),
+                sub,
                 jnp.take(qlens_dev, rows_dev),
-                self.u_dev, self.valid_dev, R, W=W, k=5, reindex=reindex,
+                self.u_dev, self.valid_dev, R, W=W, k=5, reindex=False,
                 pack=True,
             )
             _start_host_copy(cpacked)

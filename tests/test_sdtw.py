@@ -93,3 +93,50 @@ def test_mapq():
     # d2=inf: (int)round(inf) -> INT_MIN -> uint8 store wraps to 0
     # (sigfish.c:979 + sigfish.h:153; oracle-verified rna_d2inf case)
     assert compute_mapq(50.0, float("inf")) == 0
+
+
+def test_wavefront_clip_shift_bit_exact():
+    """Clipped reads on the wavefront kernel: shift_queries_for_clip
+    moves each short query up so its last DP row lands on the kernel's
+    uniform emitted lane (W-1), with the free-start row riding the
+    start_mask. The emitted last rows must be BIT-identical to the
+    scalar per-track oracle at every qlen (ref short-read semantics,
+    sigfish.c:450-461)."""
+    from sigfish_tpu.ops.sdtw_pallas import (
+        prepare_wavefront_inputs,
+        sdtw_wavefront,
+        shift_queries_for_clip,
+    )
+
+    rng = np.random.default_rng(17)
+    W, Q, td = 48, 64, 32
+    lane = W - 1
+    tracks = [rng.standard_normal(s).astype(np.float32) for s in (90, 40, 70)]
+    ref = np.concatenate(tracks)
+    reset = np.zeros(ref.size, bool)
+    pos = 0
+    for t in tracks:
+        reset[pos] = True
+        pos += t.size
+    # one full-length read + clipped reads incl. the qlen=1 and W-1 edges
+    qlist = [
+        _rand(W, 5), _rand(1, 6), _rand(7, 7), _rand(W - 1, 8), _rand(23, 9),
+    ]
+    qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
+    qb_k, fs_mask = shift_queries_for_clip(qb, qlens, lane)
+    # full-length rows untouched, mask stays at lane 0
+    assert np.array_equal(qb_k[0], qb[0]) and fs_mask[0, 0] == 1.0
+    ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
+    ds = np.asarray(
+        sdtw_wavefront(
+            jnp.asarray(qb_k), jnp.asarray(ypad), jnp.asarray(rspad),
+            lane=lane, td=td, unroll=4, interpret=True,
+            start_mask=jnp.asarray(fs_mask),
+        )
+    )
+    lr = ds[:, lane : lane + ref.size]  # column-indexed last rows
+    for b, q in enumerate(qlist):
+        want = np.concatenate(
+            [subsequence_cost(q, t)[-1] for t in tracks]
+        )
+        assert np.array_equal(lr[b], want), f"read {b} qlen={q.size}"
