@@ -75,6 +75,7 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
         ctypes.c_float,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
     ]
     lib.sf_detect_events.restype = ctypes.c_int32
     lib.sf_zscore.argtypes = [f32p, ctypes.c_int64]
@@ -89,6 +90,7 @@ def _load():
         f64p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
     ]
     lib.sf_jnn_core.restype = ctypes.c_int64
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -187,6 +189,10 @@ def subsequence_backtrack(x: np.ndarray, y: np.ndarray, starty: int,
     x = np.ascontiguousarray(x, np.float32)
     y = np.ascontiguousarray(y, np.float32)
     n, m = x.size, y.size
+    if n < 1 or m < 1:
+        # the C kernels read x[0]/y[0] unconditionally; an empty query
+        # or window must fail loudly, not corrupt the heap (fuzz 31025)
+        raise ValueError(f"subsequence_backtrack: empty input (n={n}, m={m})")
     px = np.empty(n + m + 2, np.int32)
     py = np.empty(n + m + 2, np.int32)
     k = lib.sf_subsequence_backtrack(
@@ -332,31 +338,43 @@ def jnn_segments(t: np.ndarray, bot: float, seg_dist: int):
 
 
 def jnn_core_segments(sig: np.ndarray, top: float, bot: float, corrector: int,
-                      seg_dist: int, window: int, stall_len: float, error: int):
+                      seg_dist: int, window: int, stall_len: float, error: int,
+                      first_only: bool = False):
     """Error-tolerant in-range run detector (jnn.c:191-279). Grows the
-    segment buffer on overflow (C side returns -1)."""
+    segment buffer on overflow (C side returns -1). With first_only the
+    C side stops as soon as segs[0] is provably final and the return is
+    (segments, finalized) -- finalized=False means the scan hit the end
+    of `sig` without the early-stop proof firing (exact only if `sig`
+    was the whole signal)."""
     lib = _load()
     if lib is None:
         return None
     sig = np.ascontiguousarray(sig, np.float64)
     cap = 4096
+    fin = ctypes.c_int32(0)
     while True:
         out = np.empty(2 * cap, np.int64)
         n = lib.sf_jnn_core(
             sig, sig.size, float(top), float(bot), int(corrector),
             int(seg_dist), int(window), float(stall_len), int(error), out, cap,
+            1 if first_only else 0, ctypes.byref(fin),
         )
         if n >= 0:
-            return out[: 2 * n].reshape(-1, 2)
+            segs = out[: 2 * n].reshape(-1, 2)
+            return (segs, bool(fin.value)) if first_only else segs
         cap *= 2
 
 
 _EV_SCRATCH: dict = {}
 
 
-def detect_events(signal_pa: np.ndarray, rna: bool = False):
+def detect_events(signal_pa: np.ndarray, rna: bool = False,
+                  exact_limit: int | None = None):
     """Native event segmentation; returns (start u64, length f32,
-    mean f32, stdv f32) or None if unavailable."""
+    mean f32, stdv f32) or None if unavailable. With exact_limit, a
+    fifth element n_safe is appended: the count of leading events
+    bit-identical to the full-signal run when signal_pa is a truncated
+    prefix (see ops/events.py detect_events_prefix)."""
     lib = _load()
     if lib is None:
         return None
@@ -382,18 +400,22 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False):
         )
         _EV_SCRATCH[key] = bufs
     ev_start, ev_len, ev_mean, ev_stdv = bufs
+    n_safe = ctypes.c_int32(0)
     k = lib.sf_detect_events(
         sig.ctypes.data, n,
         p["window_length1"], p["window_length2"],
         p["threshold1"], p["threshold2"], p["peak_height"],
         ev_start.ctypes.data, ev_len.ctypes.data,
         ev_mean.ctypes.data, ev_stdv.ctypes.data,
+        n if exact_limit is None else int(exact_limit),
+        ctypes.byref(n_safe),
     )
     if k < 0:
         return None
-    return (
+    out = (
         ev_start[:k].astype(np.uint64),
         ev_len[:k].copy(),
         ev_mean[:k].copy(),
         ev_stdv[:k].copy(),
     )
+    return out if exact_limit is None else out + (int(n_safe.value),)

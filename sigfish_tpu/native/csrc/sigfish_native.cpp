@@ -429,11 +429,27 @@ static void sf_tstat_dual(const double* __restrict sums,
 // t-test event segmentation, one call per read. Exact port of
 // ops/events.py (itself validated against src/events.c semantics).
 // Outputs sized <= nsample+1; returns the event count.
+//
+// exact_limit / n_safe_out support PREFIX-BOUNDED eventization: when the
+// caller passes a truncated signal (sig = full[:S]), t-stats at
+// positions > S - w2 differ from the full-signal run (their right
+// window crosses the cut), so peak COMMITS at steps >= exact_limit
+// (= S - w2) are unreliable. Commits at steps < exact_limit are
+// bit-identical to the full run (the joint detector state at step i
+// depends only on t-stats at steps <= i, all exact there), and commit
+// order equals list order, so the safe peaks are a strict prefix.
+// *n_safe_out = number of leading EVENTS whose closing peak committed
+// before exact_limit -- those events (boundaries, mean, stdv) are
+// bit-identical to the full-signal run's first events. Callers that
+// pass the whole signal use exact_limit = nsample (the final
+// to-nsample event is then also counted safe).
 int32_t sf_detect_events(const float* sig, int64_t nsample,
                          int32_t w1, int32_t w2, float t1f, float t2f,
                          float peak_height,
                          int64_t* ev_start, float* ev_len,
-                         float* ev_mean, float* ev_stdv) {
+                         float* ev_mean, float* ev_stdv,
+                         int64_t exact_limit, int32_t* n_safe_out) {
+    if (n_safe_out) *n_safe_out = 0;
     if (nsample <= 0) return 0;
     // per-thread growable scratch: a fresh multi-MB malloc/free pair per
     // read costs ~2 ns/sample in page faults at RNA read lengths
@@ -442,21 +458,24 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
     static thread_local float* tstat0 = nullptr;
     static thread_local float* tstat1 = nullptr;
     static thread_local int64_t* peaks = nullptr;
+    static thread_local int64_t* commits = nullptr;
     static thread_local int64_t scratch_cap = 0;
     if (nsample + 1 > scratch_cap) {
         int64_t cap = nsample + 1;
         if (cap < 2 * scratch_cap) cap = 2 * scratch_cap;
         free(sums); free(sumsqs); free(tstat0); free(tstat1); free(peaks);
+        free(commits);
         sums = (double*)malloc(sizeof(double) * cap);
         sumsqs = (double*)malloc(sizeof(double) * cap);
         tstat0 = (float*)malloc(sizeof(float) * cap);
         tstat1 = (float*)malloc(sizeof(float) * cap);
         peaks = (int64_t*)malloc(sizeof(int64_t) * cap);
-        if (!sums || !sumsqs || !tstat0 || !tstat1 || !peaks) {
+        commits = (int64_t*)malloc(sizeof(int64_t) * cap);
+        if (!sums || !sumsqs || !tstat0 || !tstat1 || !peaks || !commits) {
             free(sums); free(sumsqs); free(tstat0); free(tstat1);
-            free(peaks);
+            free(peaks); free(commits);
             sums = sumsqs = nullptr; tstat0 = tstat1 = nullptr;
-            peaks = nullptr; scratch_cap = 0;
+            peaks = nullptr; commits = nullptr; scratch_cap = 0;
             return -1;
         }
         scratch_cap = cap;
@@ -626,16 +645,20 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
     {
         int64_t a = 0, b = 0;
         while (a < n0 || b < n1) {
-            if (b >= n1 || (a < n0 && p0i[a] <= p1i[b]))
+            if (b >= n1 || (a < n0 && p0i[a] <= p1i[b])) {
+                commits[npeak] = p0i[a];
                 peaks[npeak++] = p0v[a++];
-            else
+            } else {
+                commits[npeak] = p1i[b];
                 peaks[npeak++] = p1v[b++];
+            }
         }
     }
 
     // events from boundaries (events.c:461-508); keep peaks in
     // (0, nsample)
     int32_t nev = 0;
+    int32_t n_safe = 0;
     int64_t start = 0;
     for (int64_t p = 0; p <= npeak; p++) {
         int64_t end = (p < npeak) ? peaks[p] : nsample;
@@ -652,8 +675,14 @@ int32_t sf_detect_events(const float* sig, int64_t nsample,
         ev_mean[nev] = mean;
         ev_stdv[nev] = sqrtf(var);
         nev++;
+        // the closing peak's commit step decides prefix-exactness; the
+        // final to-nsample event is safe only when the whole signal is
+        // within the exact range (exact_limit >= nsample)
+        if (p < npeak ? commits[p] < exact_limit : exact_limit >= nsample)
+            n_safe = nev;
         start = end;
     }
+    if (n_safe_out) *n_safe_out = n_safe;
     return nev;
 }
 
@@ -993,15 +1022,30 @@ int64_t sf_jnn_segments(const double* t, int64_t n, double bot,
 
 // Error-tolerant in-range run detector. Exact port of ops/jnn.py
 // jnn_core (jnn.c:191-279, SquiggleKit-derived).
+//
+// first_only: stop scanning as soon as segs[0] is FINAL -- i.e. no
+// future sample can change it. A later run can only modify segs[0] by
+// merging into it, which requires the run to START before
+// segs[0].end + seg_dist (the merge test uses the run's start). So
+// segs[0] is final once (a) a second segment has been appended (merges
+// only ever touch the last segment), or (b) the scan position has
+// passed segs[0].end + seg_dist with no active run that started inside
+// that window. find_polya wants exactly segs[0] (jnn.c:354-376), and
+// the polyA tail sits near the front of the read -- stopping there
+// skips the O(read) tail scan. *finalized_out reports whether the
+// early-stop proof fired (0 = ran to the end of the given array; the
+// result is then exact only if the array was the whole signal).
 int64_t sf_jnn_core(const double* sig, int64_t n, double top, double bot,
                     int64_t corrector, int64_t seg_dist, int64_t window,
                     double stall_len, int64_t error,
-                    int64_t* out, int64_t cap) {
+                    int64_t* out, int64_t cap,
+                    int32_t first_only, int32_t* finalized_out) {
     bool prev = false;
     int64_t err = 0, prev_err = 0, c = 0;
     int64_t w = corrector;
     int64_t start = 0;
     int64_t nseg = 0;
+    if (finalized_out) *finalized_out = 0;
     for (int64_t i = 0; i < n; i++) {
         bool in_range = sig[i] < top && sig[i] > bot;
         if (in_range) {
@@ -1040,6 +1084,14 @@ int64_t sf_jnn_core(const double* sig, int64_t n, double top, double bot,
                 c = 0;
                 err = 0;
                 prev_err = 0;
+            }
+        }
+        if (first_only && nseg >= 1) {
+            if (nseg >= 2 ||
+                (i >= out[1] + seg_dist &&
+                 (!prev || start >= out[1] + seg_dist))) {
+                if (finalized_out) *finalized_out = 1;
+                return nseg;
             }
         }
     }

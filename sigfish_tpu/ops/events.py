@@ -113,10 +113,16 @@ def short_long_peak_detector(
     window_length1: int,
     window_length2: int,
     peak_height: float,
-) -> np.ndarray:
-    """Coupled two-detector peak finder; returns boundary positions.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coupled two-detector peak finder; returns (positions, commits).
 
-    Exact port of the state machine, ref events.c:375-447.
+    Exact port of the state machine, ref events.c:375-447. `commits[k]`
+    is the loop step at which peak k was appended -- the basis of the
+    prefix-bounded eventization proof (see detect_events_prefix): the
+    joint detector state at step i depends only on t-stats at steps
+    <= i, so peaks committed before the first step whose t-stat is
+    affected by a signal truncation are bit-identical to the
+    full-signal run's.
     """
     n = tstat1.size
     FLT_MAX = np.float32(np.finfo(np.float32).max)
@@ -136,6 +142,7 @@ def short_long_peak_detector(
     short = _Det(tstat1, threshold1, window_length1)
     long = _Det(tstat2, threshold2, window_length2)
     peaks: list[int] = []
+    commits: list[int] = []
 
     for i in range(n):
         for det in (short, long):
@@ -161,19 +168,40 @@ def short_long_peak_detector(
                     det.valid_peak = True
                 if det.valid_peak and (i - det.peak_pos) > det.window_length // 2:
                     peaks.append(det.peak_pos)
+                    commits.append(i)
                     det.peak_pos = -1
                     det.peak_value = current_value
                     det.valid_peak = False
 
-    return np.asarray(peaks, dtype=np.int64)
+    return np.asarray(peaks, dtype=np.int64), np.asarray(commits, dtype=np.int64)
 
 
-def create_events(peaks: np.ndarray, sums: np.ndarray, sumsqs: np.ndarray, nsample: int) -> EventTable:
+def create_events(
+    peaks: np.ndarray,
+    sums: np.ndarray,
+    sumsqs: np.ndarray,
+    nsample: int,
+    commits: np.ndarray | None = None,
+    exact_limit: int | None = None,
+) -> EventTable | tuple[EventTable, int]:
     """Events from boundary list. ref: events.c:461-508.
 
     The reference keeps only peaks in (0, nsample); boundaries are
-    [0, p0), [p0, p1), ..., [p_last, nsample).
+    [0, p0), [p0, p1), ..., [p_last, nsample). With commits+exact_limit
+    also returns n_safe: the number of leading events whose closing
+    peak committed before exact_limit (bit-identical to the full-signal
+    run when the input signal was truncated -- see detect_events_prefix).
     """
+    want_safe = commits is not None and exact_limit is not None
+    if want_safe:
+        keep = (peaks > 0) & (peaks < nsample)
+        commits = commits[keep]
+        # commits are nondecreasing (append order); events are closed by
+        # kept peaks in order, the final to-nsample event is safe only
+        # when the whole signal is exact
+        n_safe = int(np.searchsorted(commits, exact_limit, side="left"))
+        if exact_limit >= nsample:
+            n_safe = commits.size + 1
     peaks = peaks[(peaks > 0) & (peaks < nsample)]
     bounds = np.empty(peaks.size + 2, dtype=np.int64)
     bounds[0] = 0
@@ -187,22 +215,39 @@ def create_events(peaks: np.ndarray, sums: np.ndarray, sumsqs: np.ndarray, nsamp
         deltasqr = (sumsqs[ends] - sumsqs[starts]).astype(np.float32)
         var = deltasqr / length - mean * mean
     stdv = np.sqrt(np.maximum(var, np.float32(0.0)))
-    return EventTable(
+    et = EventTable(
         start=starts.astype(np.uint64),
         length=length,
         mean=mean.astype(np.float32),
         stdv=stdv.astype(np.float32),
     )
+    return (et, n_safe) if want_safe else et
 
 
 def detect_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
     """Segment a pA signal into events. ref: events.c:510-554."""
+    et, _ = detect_events_prefix(signal_pa, rna=rna, exact_limit=signal_pa.size)
+    return et
+
+
+def detect_events_prefix(
+    signal_pa: np.ndarray, rna: bool, exact_limit: int
+) -> tuple[EventTable, int]:
+    """detect_events plus the count of PREFIX-EXACT events.
+
+    When signal_pa is a truncated prefix full[:S] of a longer signal,
+    t-stats at positions > S - w2 differ from the full-signal run (the
+    right window crosses the cut; truncated entries are edge zeros).
+    Peak commits at steps < exact_limit (caller passes S - w2) depend
+    only on exact t-stats, so the first n_safe events are bit-identical
+    to the full run's first n_safe events. Basis of the bounded
+    eventization fast path (runtime/pipeline.py)."""
     params = RNA_PARAMS if rna else DNA_PARAMS
     n = signal_pa.size
     sums, sumsqs = compute_prefix_sums(signal_pa.astype(np.float32))
     tstat1 = compute_tstat(sums, sumsqs, n, params["window_length1"])
     tstat2 = compute_tstat(sums, sumsqs, n, params["window_length2"])
-    peaks = short_long_peak_detector(
+    peaks, commits = short_long_peak_detector(
         tstat1,
         tstat2,
         params["threshold1"],
@@ -211,7 +256,9 @@ def detect_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
         params["window_length2"],
         params["peak_height"],
     )
-    return create_events(peaks, sums, sumsqs, n)
+    return create_events(
+        peaks, sums, sumsqs, n, commits=commits, exact_limit=exact_limit
+    )
 
 
 def get_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
@@ -224,3 +271,18 @@ def get_events(signal_pa: np.ndarray, rna: bool = False) -> EventTable:
     if res is not None:
         return EventTable(start=res[0], length=res[1], mean=res[2], stdv=res[3])
     return detect_events(signal_pa, rna=rna)
+
+
+def get_events_prefix(
+    signal_pa: np.ndarray, rna: bool, exact_limit: int
+) -> tuple[EventTable, int]:
+    """get_events over a truncated signal prefix, plus the count of
+    events guaranteed bit-identical to the full-signal run (see
+    detect_events_prefix). Native-accelerated."""
+    from .. import native
+
+    res = native.detect_events(signal_pa, rna=rna, exact_limit=exact_limit)
+    if res is not None:
+        st, ln, mn, sd, n_safe = res
+        return EventTable(start=st, length=ln, mean=mn, stdv=sd), n_safe
+    return detect_events_prefix(signal_pa, rna=rna, exact_limit=exact_limit)

@@ -130,8 +130,21 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
     return (0, 0)
 
 
-def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
-    """Error-tolerant in-range run detector. Exact port of jnn.c:191-279."""
+def jnn_core(
+    sig: np.ndarray, param: JnnParam, first_only: bool = False
+) -> list[tuple[int, int]] | tuple[list[tuple[int, int]], bool]:
+    """Error-tolerant in-range run detector. Exact port of jnn.c:191-279.
+
+    first_only: stop as soon as segs[0] is provably FINAL -- later
+    samples can only alter segs[0] by merging into it, which requires a
+    run STARTING before segs[0].end + seg_dist (the merge test uses the
+    run's start, jnn.c:252), so finality holds once a second segment
+    exists (merges only touch the last segment) or the scan passed
+    segs[0].end + seg_dist with no active run started inside that
+    window. Returns (segments, finalized); finalized=False = hit the
+    end of `sig` without the proof firing (exact only if `sig` was the
+    whole signal). Used by find_polya's bounded scan.
+    """
     if param.std_scale > 0:
         mn = float(np.mean(sig))
         std = float(np.std(sig))
@@ -145,9 +158,12 @@ def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
 
     nat_segs = native.jnn_core_segments(
         sig, top, bot, param.corrector, param.seg_dist, param.window,
-        param.stall_len, param.error,
+        param.stall_len, param.error, first_only=first_only,
     )
     if nat_segs is not None:
+        if first_only:
+            segs_arr, finalized = nat_segs
+            return [(int(a), int(b)) for a, b in segs_arr], finalized
         return [(int(a), int(b)) for a, b in nat_segs]
 
     prev = False
@@ -162,6 +178,7 @@ def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
     stall_len = param.stall_len
 
     segs: list[list[int]] = []
+    finalized = False
     in_range = (sig < top) & (sig > bot)
     for i in range(sig.size):
         if in_range[i]:
@@ -196,7 +213,15 @@ def jnn_core(sig: np.ndarray, param: JnnParam) -> list[tuple[int, int]]:
                 c = 0
                 err = 0
                 prev_err = 0
-    return [(a, b) for a, b in segs]
+        if first_only and segs:
+            if len(segs) >= 2 or (
+                i >= segs[0][1] + seg_dist
+                and (not prev or start >= segs[0][1] + seg_dist)
+            ):
+                finalized = True
+                break
+    out = [(a, b) for a, b in segs]
+    return (out, finalized) if first_only else out
 
 
 def find_adaptor(raw_signal: np.ndarray, pore: int = PORE_R9) -> tuple[int, int]:
@@ -206,7 +231,13 @@ def find_adaptor(raw_signal: np.ndarray, pore: int = PORE_R9) -> tuple[int, int]
 
 
 def find_polya(signal_pa: np.ndarray, top: float, bot: float, pore: int = PORE_R9) -> tuple[int, int]:
-    """ref jnn.c:354-376 (first qualifying segment, absolute band)."""
+    """ref jnn.c:354-376 (first qualifying segment, absolute band).
+
+    The reference scans the whole tail then takes segs[0]; the polyA
+    sits right after the adaptor near the front of the read, so this
+    runs jnn_core in first_only mode over geometrically growing
+    prefixes -- the scanner stops the moment segs[0] is provably final
+    (identical result, O(polyA region) instead of O(read))."""
     param = JNNV1_RNA004_POLYA if pore == PORE_RNA004 else JNNV1_R9_POLYA
     param = JnnParam(
         std_scale=param.std_scale,
@@ -218,10 +249,37 @@ def find_polya(signal_pa: np.ndarray, top: float, bot: float, pore: int = PORE_R
         top=top,
         bot=bot,
     )
-    segs = jnn_core(_rm_outlier(signal_pa), param)
+    n = signal_pa.size
+    t = min(n, 8192)
+    while True:
+        segs, finalized = jnn_core(_rm_outlier(signal_pa[:t]), param, first_only=True)
+        if finalized or t >= n:
+            break
+        t = min(n, t * 4)
     if segs:
         return segs[0]
     return (-1, -1)
+
+
+def detect_polya_end(
+    raw_signal: np.ndarray, signal_pa: np.ndarray, pore: int = PORE_R9
+) -> int:
+    """Raw-sample index of the polyA tail end (RNA, -p -1), or -1.
+
+    The raw-signal half of detect_query_start (ref src/sigfish.c:380-404):
+    adaptor segment -> mean adaptor current -> polyA band mean+30±20.
+    Split out so the pipeline's prefix-bounded eventization can find the
+    polyA BEFORE deciding how many samples to eventize."""
+    ax, ay = find_adaptor(raw_signal, pore)
+    n = raw_signal.size
+    if ay <= 0:
+        return -1
+    assert ay < n
+    m_a = float(np.mean(signal_pa[ax:ay].astype(np.float32)))
+    px, py = find_polya(signal_pa[ay:], m_a + 30 + 20, m_a + 30 - 20, pore)
+    if py <= 0:
+        return -1
+    return py + ay
 
 
 def detect_query_start(
@@ -234,17 +292,13 @@ def detect_query_start(
 
     ref src/sigfish.c:380-422. Returns -1 on failure.
     """
-    ax, ay = find_adaptor(raw_signal, pore)
-    n = raw_signal.size
-    if ay <= 0:
+    py = detect_polya_end(raw_signal, signal_pa, pore)
+    if py < 0:
         return -1
-    assert ay < n
-    m_a = float(np.mean(signal_pa[ax:ay].astype(np.float32)))
-    px, py = find_polya(signal_pa[ay:], m_a + 30 + 20, m_a + 30 - 20, pore)
-    if py <= 0:
+    # first event with start >= py: LINEAR first-match like the
+    # reference's while loop (sigfish.c:405-407) -- equivalent to a
+    # binary search only on sorted tables, so match the scan exactly
+    ge = np.nonzero(event_starts.astype(np.int64) >= py)[0]
+    if ge.size == 0:
         return -1
-    py = py + ay
-    i = int(np.searchsorted(event_starts.astype(np.int64), py, side="left"))
-    if i >= event_starts.size:
-        return -1
-    return i
+    return int(ge[0])

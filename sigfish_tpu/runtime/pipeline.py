@@ -29,6 +29,7 @@ batch loop; device stage batched data-parallel (and sharded over a
 from __future__ import annotations
 
 import concurrent.futures as _fut
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -55,7 +56,7 @@ from ..ops.candidates_dev import (
     device_window_top5,
     unpack_top5,
 )
-from ..ops.events import get_events
+from ..ops.events import DNA_PARAMS, RNA_PARAMS, get_events, get_events_prefix
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
 from ..ops.sdtw_pallas import (
     prepare_wavefront_inputs,
@@ -158,6 +159,11 @@ class Core:
                     )
         else:
             opt.pore_flag = {"r9": PORE_R9, "r10": PORE_R10, "rna004": PORE_RNA004}[opt.pore]
+
+        # samples-per-event estimate for the prefix-bounded eventization
+        # fast path (_prepare_read_prefix); EMA-refined from real reads
+        # (placed after auto-detection so opt.rna is final)
+        self._dwell_ema = 22.0 if opt.rna else 10.0
 
         # --- model
         if opt.model_file:
@@ -698,6 +704,7 @@ class ReadWork:
     qstart: int = 0
     qend: int = 0
     query: np.ndarray | None = None  # z-scored (and RNA-reversed) slice
+    pa: np.ndarray | None = None  # cached pA conversion (to_pa is pure)
     out: str | None = None
     skip: bool = False  # len_raw_signal==0 or ignored
     # per-read counter flags, tallied by the main thread (avoids races)
@@ -719,7 +726,9 @@ def _event_single(core: Core, w: ReadWork) -> ReadWork:
     """ref: event_single sigfish.c:330-378 (pA conversion + getevents)."""
     if w.skip:
         return w
-    pa = w.rec.to_pa()
+    if w.pa is None:
+        w.pa = w.rec.to_pa()
+    pa = w.pa
     et = get_events(pa, rna=core.opt.rna)
     w.event_start = et.start
     w.event_length = et.length
@@ -730,8 +739,12 @@ def _event_single(core: Core, w: ReadWork) -> ReadWork:
     return w
 
 
-def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
-    """ref: normalise_single sigfish.c:424-505 (query window + z-score)."""
+def _normalise_single(core: Core, w: ReadWork, py: int | None = None) -> ReadWork:
+    """ref: normalise_single sigfish.c:424-505 (query window + z-score).
+
+    py: optional precomputed polyA-end sample index (the raw-signal half
+    of detect_query_start) so the fast path's fallback does not redo the
+    adaptor/polyA scans; None = compute here, -1 = computed and failed."""
     if w.skip:
         return w
     opt = core.opt
@@ -742,9 +755,19 @@ def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
         start_idx = opt.prefix_size
         if opt.prefix_size < 0:
             # pA samples are only needed by the polyA autodetect
-            start_idx = jnn.detect_query_start(
-                rec.raw_signal, rec.to_pa(), et_start, pore=opt.pore_flag
-            )
+            if w.pa is None:
+                w.pa = rec.to_pa()
+            if py is None:
+                py = jnn.detect_polya_end(
+                    rec.raw_signal, w.pa, pore=opt.pore_flag
+                )
+            if py < 0:
+                start_idx = -1
+            else:
+                # first event with start >= py, linear first-match
+                # (ref sigfish.c:405-411)
+                ge = np.nonzero(et_start.astype(np.int64) >= py)[0]
+                start_idx = int(ge[0]) if ge.size else -1
             if start_idx < 0:
                 w.flag_prefix_fail = True
                 start_idx = 50  # fall back, ref sigfish.c:440-447
@@ -767,8 +790,26 @@ def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
             w.flag_ignored = True
             return w
 
-    w.qstart = int(start_idx)
-    w.qend = int(end_idx)
+    if end_idx <= start_idx:
+        # empty query window (from-end with n_events == prefix, or
+        # -q 0): the reference's behavior here is undefined -- a 0-row
+        # DP matrix whose uninitialized last row feeds the candidate
+        # scan (it aborts on such inputs, fuzz seed 31025). Count the
+        # read as ignored and keep going (PARITY.md Robustness).
+        w.skip = True
+        w.flag_ignored = True
+        return w
+
+    return _finish_normalise(core, w, int(start_idx), int(end_idx))
+
+
+def _finish_normalise(core: Core, w: ReadWork, start_idx: int, end_idx: int) -> ReadWork:
+    """Window z-score + RNA reversal given the decided query window.
+
+    ref sigfish.c:479-502 (shared by the exact path and the
+    prefix-bounded fast path -- identical math on identical inputs)."""
+    w.qstart = start_idx
+    w.qend = end_idx
 
     # z-score the slice, float32 population stats in the reference's
     # sequential accumulation order (ref sigfish.c:483-502)
@@ -786,7 +827,7 @@ def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
     w.event_mean[start_idx:end_idx] = sl_norm
 
     qlen = end_idx - start_idx
-    if opt.rna and not opt.invert:
+    if core.opt.rna and not core.opt.invert:
         w.query = sl_norm[::-1].copy()  # reversed query, ref sigfish.c:860-867
     else:
         w.query = sl_norm.copy()
@@ -794,12 +835,113 @@ def _normalise_single(core: Core, w: ReadWork) -> ReadWork:
     return w
 
 
+# kill switch for the prefix-bounded eventization fast path (exact full
+# path always remains the fallback and the --profile-cpu stage mode)
+_NO_PREFIX_EVENTS = bool(os.environ.get("SIGFISH_TPU_NO_PREFIX_EVENTS"))
+
+
+def _prepare_read_prefix(core: Core, w: ReadWork) -> ReadWork | None:
+    """Prefix-bounded parse->events->normalise for one read.
+
+    The query window only needs events up to qstart + query_size, and
+    event detection is a causal left-to-right scan, so eventizing a
+    grown signal PREFIX reproduces the leading events bit-exactly
+    (ops/events.py detect_events_prefix safety contract: n_safe counts
+    events whose closing peak committed before the truncation-affected
+    t-stat range). Falls back to the exact full-signal path inline
+    (reusing the computed polyA) for clipped/ignored reads or when no
+    samples would be saved. Output is bit-identical to the exact path
+    by construction; asserted read-by-read in tests/test_events_jnn.py
+    and end-to-end by the oracle parity matrix + fuzz.
+    """
+    opt = core.opt
+    rec = w.rec
+    if w.pa is None:
+        w.pa = rec.to_pa()
+    pa = w.pa
+    n = pa.size
+    rna = opt.rna
+    params = RNA_PARAMS if rna else DNA_PARAMS
+    w2 = params["window_length2"]
+    q = opt.query_size
+    if q <= 0:
+        # empty query window; the exact path ignores such reads
+        return _normalise_single(core, _event_single(core, w))
+    need_past_start = max(q, 25)  # covers the ignored(<start+25) and
+    # too_short(end>n) decisions: n_events >= start + max(q,25) forces
+    # both checks to the not-clipped branch, matching the full run
+
+    if opt.prefix_size >= 0:
+        py = -1
+        start_known = opt.prefix_size
+    else:
+        py = jnn.detect_polya_end(rec.raw_signal, pa, pore=opt.pore_flag)
+        if py < 0:
+            w.flag_prefix_fail = True
+            start_known = 50  # ref sigfish.c:440-447 fallback
+        else:
+            start_known = -1  # first event at/after py, from the table
+
+    # initial samples-per-event guess: per-Core EMA of the measured
+    # density (seeded per chemistry), margin 1.3; a short retry refines
+    # the bound from the observed event table, so a loose guess costs
+    # one extra partial pass, not a 3x overshoot
+    dwell = core._dwell_ema
+    if start_known >= 0:
+        S = int((start_known + need_past_start + 2) * dwell * 1.3)
+    else:
+        S = py + int((q + 30) * dwell * 1.3)
+    S += 4 * w2 + 64
+    for _ in range(4):
+        if S >= n:
+            break
+        et, n_safe = get_events_prefix(pa[:S], rna, S - w2)
+        if n_safe >= 16:
+            starts = et.start[:n_safe].astype(np.int64)
+            if start_known < 0:
+                # first event with start >= py, linear first-match like
+                # the reference (sigfish.c:405-407): a match inside the
+                # safe prefix equals the full-table scan's result; no
+                # match yet means the answer isn't determinable -- grow
+                ge = np.nonzero(starts >= py)[0]
+                start_idx = int(ge[0]) if ge.size else -1
+            else:
+                start_idx = start_known
+            needed = (start_idx if start_idx >= 0 else n_safe) + need_past_start
+            if start_idx >= 0 and n_safe >= needed:
+                core._dwell_ema = 0.9 * core._dwell_ema + 0.1 * (
+                    float(starts[-1]) / n_safe
+                )
+                w.event_start = et.start[:n_safe]
+                w.event_length = et.length[:n_safe]
+                w.event_mean = et.mean[:n_safe].copy()
+                w.n_events = n_safe
+                return _finish_normalise(core, w, start_idx, start_idx + q)
+            # refine the bound from the observed local event density
+            k = min(64, n_safe - 1)
+            d_loc = float(starts[-1] - starts[-1 - k]) / k
+            missing = needed - n_safe + 8
+            S = int(starts[-1] + missing * d_loc * 1.3) + 4 * w2 + 64
+        else:
+            S *= 3
+    # exact full-signal path; hand over the polyA result so the
+    # adaptor/polyA scans are not repeated
+    return _normalise_single(
+        core, _event_single(core, w), py=py if opt.prefix_size < 0 else None
+    )
+
+
 def _prepare_read(core: Core, blob: bytes) -> ReadWork:
     """Fused parse + event + normalise for one read (default mode).
 
     ref: work_per_single_read sigfish.c:995-1001.
     """
-    return _normalise_single(core, _event_single(core, _parse_single(core, blob)))
+    w = _parse_single(core, blob)
+    if w.skip:
+        return w
+    if not _NO_PREFIX_EVENTS and not core.opt.from_end:
+        return _prepare_read_prefix(core, w)
+    return _normalise_single(core, _event_single(core, w))
 
 
 def _backtrack_best(
