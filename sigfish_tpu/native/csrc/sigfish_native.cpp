@@ -181,6 +181,97 @@ static void subsequence_diag(const float* __restrict x, int32_t n,
     }
 }
 
+// Anti-diagonal subsequence DP that emits only 1-byte DIRECTION codes
+// (0=diag, 1=left, 2=up; the greedy backtracker's decision at each
+// interior cell, ref path cdtw.c:134-147 tie order diag>left>up on
+// float equality) instead of the full f32 cost matrix. The codes are
+// computed from the identical f32 DP values the backtracker would
+// compare (the diagonal carry buffers ARE those values), so the path
+// is bit-identical to sf_path over the full matrix -- while the store
+// traffic drops 4x (1 byte vs 4) and becomes CONTIGUOUS per diagonal
+// (dirs[d*n + i]) instead of the row-major scatter whose stride-m
+// stores touch one cache line each (the measured bottleneck of the
+// full-matrix variant at RNA window sizes). Boundary cells need no
+// codes: the backtracker moves unconditionally at i==0 (left) and
+// j==0 (up).
+static void subsequence_diag_dirs(const float* __restrict x, int32_t n,
+                                  const float* __restrict y, int32_t m,
+                                  uint8_t* __restrict dirs /* (n+m-1)*n */,
+                                  float* __restrict scratch /* 3*(n+1) */,
+                                  float* __restrict col0 /* n */) {
+    // column 0 cumulative values (free start on the reference axis
+    // applies to row 0 only; column 0 accumulates, sf_subsequence)
+    {
+        float acc = fabsf(x[0] - y[0]);
+        col0[0] = acc;
+        for (int32_t i = 1; i < n; i++) {
+            acc += fabsf(x[i] - y[0]);
+            col0[i] = acc;
+        }
+    }
+    float* a2 = scratch;            // A_{d-2}
+    float* a1 = scratch + (n + 1);  // A_{d-1}
+    float* a0 = scratch + 2 * (n + 1);
+    a2[0] = col0[0];                              // d = 0: (0,0)
+    if (m > 1) a1[0] = fabsf(x[0] - y[1]);        // d = 1: (0,1)
+    if (n > 1) a1[1] = col0[1];                   // d = 1: (1,0)
+    for (int32_t d = 2; d <= n - 1 + m - 1; d++) {
+        int32_t ilo = d - (m - 1);
+        if (ilo < 1) ilo = 1;
+        int32_t ihi = d - 1;
+        if (ihi > n - 1) ihi = n - 1;
+        if (d < m) a0[0] = fabsf(x[0] - y[d]);    // row 0 boundary
+        uint8_t* __restrict drow = dirs + (int64_t)d * n;
+        int32_t i = ilo;
+#if defined(__AVX512F__)
+        // 16 cells per iteration; cmp+blend chains mirror the scalar
+        // `mn=left; if(dg<mn)...; if(up<mn)...` order exactly (min_ps
+        // NaN semantics differ), EQ_OQ matches the == tie tests, and
+        // _mm512_abs_ps is the same sign-bit clear as fabsf -- each
+        // lane is the scalar computation, so results stay bit-exact.
+        {
+            const __m512i rev = _mm512_set_epi32(0, 1, 2, 3, 4, 5, 6, 7,
+                                                 8, 9, 10, 11, 12, 13, 14, 15);
+            const __m512i one = _mm512_set1_epi32(1);
+            const __m512i two = _mm512_set1_epi32(2);
+            for (; i + 15 <= ihi; i += 16) {
+                __m512 up = _mm512_loadu_ps(a1 + i - 1);
+                __m512 left = _mm512_loadu_ps(a1 + i);
+                __m512 dg = _mm512_loadu_ps(a2 + i - 1);
+                __m512 mn = _mm512_mask_mov_ps(
+                    left, _mm512_cmp_ps_mask(dg, left, _CMP_LT_OQ), dg);
+                mn = _mm512_mask_mov_ps(
+                    mn, _mm512_cmp_ps_mask(up, mn, _CMP_LT_OQ), up);
+                __mmask16 isdg = _mm512_cmp_ps_mask(dg, mn, _CMP_EQ_OQ);
+                __mmask16 isleft = _mm512_cmp_ps_mask(left, mn, _CMP_EQ_OQ);
+                __m512i c = _mm512_mask_mov_epi32(two, isleft, one);
+                c = _mm512_maskz_mov_epi32(~isdg, c);
+                _mm_storeu_si128((__m128i*)(drow + i),
+                                 _mm512_cvtepi32_epi8(c));
+                __m512 xv = _mm512_loadu_ps(x + i);
+                // y[d-i-l] for lane l: reversed contiguous load
+                __m512 yv = _mm512_permutexvar_ps(
+                    rev, _mm512_loadu_ps(y + (d - i) - 15));
+                __m512 local = _mm512_abs_ps(_mm512_sub_ps(xv, yv));
+                _mm512_storeu_ps(a0 + i, _mm512_add_ps(local, mn));
+            }
+        }
+#endif
+        for (; i <= ihi; i++) {
+            float up = a1[i - 1];
+            float left = a1[i];
+            float dg = a2[i - 1];
+            float mn = left;
+            if (dg < mn) mn = dg;
+            if (up < mn) mn = up;
+            drow[i] = (dg == mn) ? 0 : ((left == mn) ? 1 : 2);
+            a0[i] = fabsf(x[i] - y[d - i]) + mn;
+        }
+        if (d <= n - 1) a0[d] = col0[d];          // column 0 boundary
+        float* t = a2; a2 = a1; a1 = a0; a0 = t;
+    }
+}
+
 // Last-row-only subsequence DP with O(m) memory (two alternating rows):
 // the host CPU engine's scoring pass, same recurrence as sf_subsequence.
 // Writes row n-1 into lastrow (m floats).
@@ -247,33 +338,75 @@ void sf_std_lastrow(const float* __restrict x, int32_t n,
     if (prev != lastrow) memcpy(lastrow, prev, sizeof(float) * m);
 }
 
-// Fused window recompute + backtrack (anti-diagonal DP for subsequence;
-// row-major for std). Returns the path length (px/py must hold n+m
-// entries), or -1 on allocation failure.
+// Fused window recompute + backtrack (direction-code anti-diagonal DP
+// for subsequence; full-matrix row-major for std and degenerate sizes).
+// Returns the path length (px/py must hold n+m entries), or -1 on
+// allocation failure.
 int32_t sf_subsequence_backtrack(const float* x, int32_t n, const float* y,
                                  int32_t m, int32_t starty, int32_t use_std,
                                  int32_t* px, int32_t* py) {
-    // per-thread growable scratch: the multi-MB cost window is
-    // reallocated once per top-5 candidate otherwise (page-fault churn)
+    // per-thread growable scratch (reallocated once per top-5 candidate
+    // otherwise -- page-fault churn)
     static thread_local float* cost = nullptr;
     static thread_local float* scratch = nullptr;
-    static thread_local int64_t cost_cap = 0, scratch_cap = 0;
-    int64_t need_cost = (int64_t)n * m;
-    int64_t need_scratch = 3 * (int64_t)(n + 1);
-    if (need_cost > cost_cap) {
-        free(cost);
-        cost = (float*)malloc(sizeof(float) * need_cost);
-        cost_cap = cost ? need_cost : 0;
-        if (!cost) return -1;
-    }
+    static thread_local uint8_t* dirs = nullptr;
+    static thread_local int64_t cost_cap = 0, scratch_cap = 0, dirs_cap = 0;
+    int64_t need_scratch = 3 * (int64_t)(n + 1) + n;
     if (need_scratch > scratch_cap) {
         free(scratch);
         scratch = (float*)malloc(sizeof(float) * need_scratch);
         scratch_cap = scratch ? need_scratch : 0;
         if (!scratch) return -1;
     }
+    if (!use_std && n >= 2 && m >= 2) {
+        // direction-code route: no O(n*m) float matrix at all
+        int64_t need_dirs = (int64_t)(n + m - 1) * n;
+        if (need_dirs > dirs_cap) {
+            free(dirs);
+            dirs = (uint8_t*)malloc(need_dirs);
+            dirs_cap = dirs ? need_dirs : 0;
+            if (!dirs) return -1;
+        }
+        subsequence_diag_dirs(x, n, y, m, dirs, scratch,
+                              scratch + 3 * (n + 1));
+        int32_t i = n - 1, j = starty, k = 0;
+        px[k] = i; py[k] = j; k++;
+        while (i > 0 || j > 0) {
+            if (i == 0) {
+                j--;
+            } else if (j == 0) {
+                i--;
+            } else {
+                uint8_t c = dirs[(int64_t)(i + j) * n + i];
+                if (c == 0) { i--; j--; }
+                else if (c == 1) { j--; }
+                else { i--; }
+            }
+            px[k] = i; py[k] = j; k++;
+        }
+        for (int32_t a = 0, b = k - 1; a < b; a++, b--) {
+            int32_t t = px[a]; px[a] = px[b]; px[b] = t;
+            t = py[a]; py[a] = py[b]; py[b] = t;
+        }
+        int32_t a_star = 0;
+        for (int32_t p = 1; p < k; p++) {
+            if (px[p] == 0) a_star++;
+            else break;
+        }
+        if (a_star > 0) {
+            memmove(px, px + a_star, sizeof(int32_t) * (k - a_star));
+            memmove(py, py + a_star, sizeof(int32_t) * (k - a_star));
+        }
+        return k - a_star;
+    }
+    int64_t need_cost = (int64_t)n * m;
+    if (need_cost > cost_cap) {
+        free(cost);
+        cost = (float*)malloc(sizeof(float) * need_cost);
+        cost_cap = cost ? need_cost : 0;
+        if (!cost) return -1;
+    }
     if (use_std) sf_std_dtw(x, n, y, m, cost, 0);
-    else if (n >= 2 && m >= 2) subsequence_diag(x, n, y, m, cost, scratch);
     else sf_subsequence(x, n, y, m, cost);
     return sf_subsequence_path(cost, n, m, starty, px, py);
 }

@@ -100,3 +100,47 @@ def test_std_lastrow_exact_vs_scalar_oracle():
         row = native.std_lastrow(q, y)
         ex = np.asarray(std_dtw_cost(q, y))[-1]
         assert np.array_equal(row, ex), (n, m)
+
+
+def test_subsequence_backtrack_dirs_vs_full_matrix():
+    """The direction-code backtrack (subsequence_diag_dirs: 1-byte
+    codes, no O(n*m) float matrix) must reproduce the C full-matrix
+    path bit-for-bit -- including diag>left>up float-equality
+    tie-breaks, stressed here with quantized values that force exact
+    ties. Oracle = sf_subsequence (scalar row-major) + sf_path over
+    the stored matrix."""
+    from sigfish_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    for quantized in (False, True):
+        for _ in range(120):
+            n = int(rng.integers(2, 160))
+            m = int(rng.integers(2, 400))
+            if quantized:
+                q = (rng.integers(0, 4, n) * 0.5).astype(np.float32)
+                y = (rng.integers(0, 4, m) * 0.5).astype(np.float32)
+            else:
+                q = rng.standard_normal(n).astype(np.float32)
+                y = rng.standard_normal(m).astype(np.float32)
+            starty = int(rng.integers(0, m))
+            px, py = native.subsequence_backtrack(q, y, starty, std=False)
+            cost = native.subsequence_cost(q, y)
+            ex_px, ex_py = native.subsequence_path(cost, starty)
+            assert np.array_equal(px, ex_px), (n, m, starty, quantized)
+            assert np.array_equal(py, ex_py), (n, m, starty, quantized)
+
+
+def test_subsequence_backtrack_rejects_empty():
+    """Empty query/window must raise, not corrupt the heap (the C
+    kernels read x[0]/y[0] unconditionally; fuzz seed 31025)."""
+    from sigfish_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    y = np.ones(4, np.float32)
+    with pytest.raises(ValueError):
+        native.subsequence_backtrack(np.empty(0, np.float32), y, 3, std=False)
+    with pytest.raises(ValueError):
+        native.subsequence_backtrack(y, np.empty(0, np.float32), 0, std=False)
