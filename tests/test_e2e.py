@@ -183,3 +183,40 @@ def test_clipped_device_path_matches_native(tmp_path):
         core.close()
     assert outs["scan"] == outs["native"]
     assert len(outs["scan"]) == 20  # 5 full + 15 clipped, all mapped
+
+
+def test_press_matrix_identical_output(tmp_path):
+    """The same reads stored under every record x signal compression
+    combination (incl. slow5lib's hidden dev signal codes 250=zlib /
+    251=zstd, slow5_press.c:100-148, and ASCII .slow5) must produce
+    byte-identical PAF -- decode correctness end-to-end, not just
+    roundtrip (slow5lib ecosystem interop)."""
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Writer
+
+    src = Slow5File(f"{REF}/sp1_dna.blow5")
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+
+    combos = [
+        ("none", "none", ".blow5"),
+        ("zlib", "svb-zd", ".blow5"),
+        ("zlib", "zlib", ".blow5"),    # dev code 250
+        ("zlib", "zstd", ".blow5"),    # dev code 251
+        ("zstd", "svb-zd", ".blow5"),
+        (None, None, ".slow5"),        # ASCII
+    ]
+    outs = []
+    for rec_press, sig_press, ext in combos:
+        p = tmp_path / f"m_{rec_press}_{sig_press}{ext}".replace("/", "_")
+        kw = {}
+        if ext == ".blow5":
+            kw = dict(rec_press=rec_press, sig_press=sig_press)
+        with Slow5Writer(str(p), header_data=hdr, **kw) as w:
+            for r in recs:
+                w.write_record(r)
+        outs.append(
+            _run(f"{REF}/nCoV-2019.reference.fasta", str(p), num_thread=2)
+        )
+    assert all(o == outs[0] for o in outs[1:]), "press combos diverge"
+    assert outs[0].count("\n") == len(recs)
