@@ -60,7 +60,7 @@ qb_k, fs = shift_queries_for_clip(qb, qlens, lane)
 ds = np.asarray(sdtw_wavefront(
     jnp.asarray(qb_k), *map(jnp.asarray, prepare_wavefront_inputs(
         ref, reset, Q, td=td)[:2]), lane=lane, td=td,
-    start_mask=jnp.asarray(fs)))
+    start_lanes=jnp.asarray(fs)))
 lr = ds[:, lane:lane + R]
 for b, q in enumerate(qlist):
     for t, tr in enumerate(tracks):

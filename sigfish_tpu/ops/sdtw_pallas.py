@@ -203,18 +203,21 @@ def sdtw_wavefront(
     td: int = 128,
     unroll: int = 8,
     interpret: bool = False,
-    start_mask: jnp.ndarray | None = None,  # (B, Q) f32, 1.0 at free-start lane
+    start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
 ) -> jnp.ndarray:
     """Returns diag-indexed scores (B, D): out[b, d] = cost[lane, d-lane].
 
     The emitted row is the STATIC lane (qlen-1 of full-length reads).
     Clipped reads (qlen != lane+1) ride the same emission: shift their
-    query values up to lanes [lane+1-qlen, lane] and pass start_mask
-    with 1.0 at lane+1-qlen (build both with shift_queries_for_clip).
-    With start_mask=None every read free-starts at lane 0 (the
-    full-length layout). `out[:, lane : lane+R]` is the column-indexed
-    last row either way. interpret=True runs the Pallas interpreter
-    (CPU tests).
+    query values up to lanes [lane+1-qlen, lane] and pass start_lanes
+    with lane+1-qlen per clipped read (build both with
+    shift_queries_for_clip). With start_lanes=None every read
+    free-starts at lane 0 (the full-length layout). The (B, Q) one-hot
+    mask the kernel consumes is expanded HERE, inside the jit, from the
+    tiny (B,) vector -- the host->device transfer is 4B/read, not a
+    full (B, Q) f32 plane (the axon link is ~11 MB/s).
+    `out[:, lane : lane+R]` is the column-indexed last row either way.
+    interpret=True runs the Pallas interpreter (CPU tests).
     """
     B, Q = queries.shape
     D = ypad.shape[1]
@@ -222,8 +225,12 @@ def sdtw_wavefront(
     n_tiles = D // td
 
     assert td % unroll == 0
-    if start_mask is None:
-        start_mask = jnp.zeros((B, Q), jnp.float32).at[:, 0].set(1.0)
+    if start_lanes is None:
+        start_lanes = jnp.zeros((B,), jnp.int32)
+    start_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+        == start_lanes.astype(jnp.int32)[:, None]
+    ).astype(jnp.float32)
     return pl.pallas_call(
         functools.partial(_wavefront_kernel, td=td, lane=lane, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
@@ -253,14 +260,14 @@ def shift_queries_for_clip(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side prep for clipped reads on the wavefront kernel.
 
-    Returns (qb_shifted, start_mask): each read whose qlen != lane+1 is
-    moved to lanes [lane+1-qlen, lane] so its last DP row lands on the
-    kernel's uniform emitted lane; start_mask carries 1.0 at the
-    free-start lane per read (lane 0 for full-length reads, whose
-    values are untouched)."""
+    Returns (qb_shifted, start_lanes): each read whose qlen != lane+1
+    is moved to lanes [lane+1-qlen, lane] so its last DP row lands on
+    the kernel's uniform emitted lane; start_lanes ((B,) int32) carries
+    the free-start lane per read (0 for full-length reads, whose
+    values are untouched) -- expanded to the kernel's one-hot mask on
+    device by sdtw_wavefront."""
     qb2 = qb.copy()
-    mask = np.zeros_like(qb, dtype=np.float32)
-    mask[:, 0] = 1.0
+    lanes = np.zeros(qb.shape[0], dtype=np.int32)
     W = lane + 1
     for r in range(qb.shape[0]):
         ql = int(qlens[r])
@@ -268,9 +275,8 @@ def shift_queries_for_clip(
             s = W - ql
             qb2[r, :] = 0.0
             qb2[r, s : s + ql] = qb[r, :ql]
-            mask[r, 0] = 0.0
-            mask[r, s] = 1.0
-    return qb2, mask
+            lanes[r] = s
+    return qb2, lanes
 
 
 @functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))

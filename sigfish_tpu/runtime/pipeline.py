@@ -499,19 +499,19 @@ class Core:
             if clip_rows.size:
                 # clipped reads ride the kernel's uniform emitted lane
                 # by shifting their query up to end at lane W-1 (the
-                # free-start lane moves with it via start_mask); their
+                # free-start lane moves with it via start_lanes); their
                 # last rows come out column-indexed in the same static
                 # slice as everyone else's (ops/sdtw_pallas.py)
-                qb_k, fs_mask = shift_queries_for_clip(qb, qlens, W - 1)
+                qb_k, fs_lanes = shift_queries_for_clip(qb, qlens, W - 1)
             else:
-                qb_k, fs_mask = qb, None
+                qb_k, fs_lanes = qb, None
             scores = sdtw_wavefront(
                 jnp.asarray(qb_k),
                 jnp.asarray(ypad),
                 jnp.asarray(rspad),
                 lane=W - 1,
                 td=td,
-                start_mask=None if fs_mask is None else jnp.asarray(fs_mask),
+                start_lanes=None if fs_lanes is None else jnp.asarray(fs_lanes),
             )
             reindex = True
         else:

@@ -99,7 +99,7 @@ def test_wavefront_clip_shift_bit_exact():
     """Clipped reads on the wavefront kernel: shift_queries_for_clip
     moves each short query up so its last DP row lands on the kernel's
     uniform emitted lane (W-1), with the free-start row riding the
-    start_mask. The emitted last rows must be BIT-identical to the
+    start_lanes. The emitted last rows must be BIT-identical to the
     scalar per-track oracle at every qlen (ref short-read semantics,
     sigfish.c:450-461)."""
     from sigfish_tpu.ops.sdtw_pallas import (
@@ -123,15 +123,15 @@ def test_wavefront_clip_shift_bit_exact():
         _rand(W, 5), _rand(1, 6), _rand(7, 7), _rand(W - 1, 8), _rand(23, 9),
     ]
     qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
-    qb_k, fs_mask = shift_queries_for_clip(qb, qlens, lane)
+    qb_k, fs_lanes = shift_queries_for_clip(qb, qlens, lane)
     # full-length rows untouched, mask stays at lane 0
-    assert np.array_equal(qb_k[0], qb[0]) and fs_mask[0, 0] == 1.0
+    assert np.array_equal(qb_k[0], qb[0]) and fs_lanes[0] == 0
     ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
     ds = np.asarray(
         sdtw_wavefront(
             jnp.asarray(qb_k), jnp.asarray(ypad), jnp.asarray(rspad),
             lane=lane, td=td, unroll=4, interpret=True,
-            start_mask=jnp.asarray(fs_mask),
+            start_lanes=jnp.asarray(fs_lanes),
         )
     )
     lr = ds[:, lane : lane + ref.size]  # column-indexed last rows
