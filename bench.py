@@ -60,10 +60,49 @@ def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIE
     return len(recs) * n_copies
 
 
+def _device_preflight(timeout_s: int = 900) -> bool:
+    """Probe the accelerator in a subprocess with a hard timeout.
+
+    The axon device transport can block indefinitely when the service is
+    down (observed: jax.devices() hangs >500 s), which would hang the
+    whole bench; the legitimate first-touch stall has measured up to
+    ~434 s, hence the generous budget. Returns False if no device
+    responds in time."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.asarray(np.arange(8, dtype=np.float32));"
+        "print(np.asarray(x[:8]) is not None)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import sigfish_tpu
 
     sigfish_tpu.enable_xla_cache()
+    if not _device_preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": "dna_reads_per_s_1chip",
+                    "value": 0.0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator unreachable (axon device probe "
+                    "timed out; service-side outage)",
+                }
+            )
+        )
+        sys.exit(0)
     from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
     tmp = tempfile.mktemp(suffix=".blow5")

@@ -83,7 +83,11 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
                 seq = seqs[name]
                 if (not rna) and rng.random() < 0.5:
                     seq = reverse_complement(seq)
-                n_ev = int(rng.integers(80, 400))
+                # occasional LONG reads (up to the whole contig at high
+                # dwell, tens of kilosamples) stress the prefix-bounded
+                # eventization retry/EMA path where the bound actually
+                # truncates (runtime/pipeline._prepare_read_prefix)
+                n_ev = int(rng.integers(80, 2500 if rng.random() < 0.25 else 400))
                 n_ev = min(n_ev, len(seq) - k)
                 start = int(rng.integers(0, len(seq) - n_ev - k + 1))
                 lv = levels(seq, start, n_ev)
