@@ -368,6 +368,32 @@ class Core:
         )
         return np.asarray(lr)
 
+    def sdtw_std_corners(self, qb: np.ndarray, onehot: np.ndarray) -> np.ndarray:
+        """--dtw-std on device engines: per-track corner cells gathered
+        ON DEVICE, so (B, ntracks) crosses the host link instead of the
+        full (B, R) last-row matrix (320 MB at RNA scale over the ~11
+        MB/s axon link). ref sigfish.c:914-925: std DTW contributes one
+        candidate per track, its boundary-anchored corner cell."""
+        lr = sdtw_scan(
+            jnp.asarray(qb),
+            jnp.asarray(onehot),
+            self.ref_cat_dev,
+            self.reset_dev,
+            ckpt=self.opt.ckpt,
+            std=True,
+        )
+        if getattr(self, "_std_corner_cols_dev", None) is None:
+            offs = self.track_offsets
+            cols = np.array(
+                [
+                    int(offs[t]) + max(int(self.track_sizes[t]), 1) - 1
+                    for t in range(len(self.tracks))
+                ],
+                np.int32,
+            )
+            self._std_corner_cols_dev = jnp.asarray(cols)
+        return np.asarray(jnp.take(lr, self._std_corner_cols_dev, axis=1))
+
     def sdtw_candidates(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1004,8 +1030,7 @@ class PendingBatch:
     live: list
     qlens: np.ndarray | None = None
     handle: dict | None = None
-    last_row: np.ndarray | None = None  # --dtw-std path (device engines)
-    std_corners: np.ndarray | None = None  # --dtw-std path (native engine)
+    std_corners: np.ndarray | None = None  # --dtw-std: (B, ntracks) corner cells
     dtw_t0: float = 0.0
 
 
@@ -1093,7 +1118,9 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
         # drift that flips printf digits; fuzz seeds 3003/3031)
         pending.std_corners = core._native_std_corners(qb, qlens, n_live=nb)
     else:
-        pending.last_row = core.sdtw_run(qb, qlens, onehot, True)
+        # device engines: corner cells only (the full (B, R) last-row
+        # fetch is link-prohibitive; see sdtw_std_corners)
+        pending.std_corners = core.sdtw_std_corners(qb, onehot)
     return pending
 
 
@@ -1129,8 +1156,6 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
                     s5, p5 = core._clipped_top5(w.query)
                     top_s[slot] = s5
                     top_p[slot] = p5
-    else:
-        last_row = pending.last_row
 
     # pass 1: winner selection per read (cheap host work)
     winners = []  # (slot, w, t, pos_end_local, d1, d2, rid, strand)
@@ -1159,10 +1184,7 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
                 lo = int(offs[t])
                 size = core.track_sizes[t]
                 if size > 0:
-                    if pending.std_corners is not None:
-                        s = float(pending.std_corners[slot, t])
-                    else:
-                        s = float(last_row[slot, lo + size - 1])
+                    s = float(pending.std_corners[slot, t])
                     cand_scores.append(s)
                     cand_pos.append(size - 1)
                     cand_track.append(t)
