@@ -199,7 +199,8 @@ def dtw_main(argv: list[str]) -> int:
         # deterministic ordered emission: ranges are contiguous and in
         # file order, so host-order concatenation reproduces the
         # single-process output byte-for-byte (host 0 writes)
-        from .parallel.distributed import barrier, gather_counters, gather_ordered
+        from .parallel.distributed import (
+            gather_counters, gather_ordered, shutdown_distributed)
 
         merged = gather_ordered(
             body_fp.getvalue().encode(), host_id, n_hosts
@@ -229,10 +230,14 @@ def dtw_main(argv: list[str]) -> int:
                 f"{totals['total_reads']}\tprefix fail: {totals['prefix_fail']}"
                 f"\tignored: {totals['ignored']}\ttoo short: {totals['too_short']}\n"
             )
-        # align all processes before anyone exits: host 0 owns the
-        # coordination service, and tearing it down mid-gather resets
-        # the peers' connections
-        barrier("sigfish_tpu_exit")
+        # coordinated disconnect: client.shutdown() is itself a cluster
+        # barrier (the coordination service waits for every task's
+        # shutdown call), and deregistering stops the heartbeat +
+        # error-polling threads.  A plain KV barrier followed by process
+        # exit is NOT enough: host 0 owns the service, and tearing it
+        # down while a peer's poll thread still holds a connection makes
+        # that peer's C++ client abort the process (observed flake).
+        shutdown_distributed()
 
     # final report, ref dtw_main.c:331-345 + main.c:98-99
     e = sys.stderr

@@ -161,11 +161,23 @@ def gather_ordered(data: bytes, process_id: int, num_processes: int,
     return b"".join(parts)
 
 
-def barrier(name: str, timeout_ms: int = 600_000) -> None:
-    """Block until every process reaches this barrier (coordination
-    service). Used before process exit so host 0 (which owns the
-    coordinator) cannot tear it down while peers are still mid-gather."""
-    _kv_client().wait_at_barrier(name, timeout_ms)
+def shutdown_distributed() -> None:
+    """Coordinated cluster disconnect before process exit.
+
+    ``client.shutdown()`` is a cluster-wide barrier: the coordination
+    service waits for every task's shutdown call, then acknowledges, so
+    each task's heartbeat + error-polling threads stop *before* host 0
+    tears the service down.  (An ad-hoc KV barrier followed by process
+    exit is insufficient -- host 0's teardown races the peers' polling
+    threads, whose C++ error handler aborts the whole process.)
+    Idempotent no-op when the cluster was never initialized.
+    """
+    import jax
+
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        jax.distributed.shutdown()
 
 
 def gather_counters(
