@@ -84,7 +84,7 @@ def compute_mapq(d1: float, d2: float) -> int:
     """
     s1 = np.float32(d1)
     s2 = np.float32(d2)
-    with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         x = float(np.float32(500.0) * (s2 - s1) / s1)
     if math.isnan(x) or math.isinf(x) or not (-2147483649.0 < x < 2147483648.0):
         mapq = -(2**31)
