@@ -61,12 +61,23 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
                            warn_non_acgt=False)
         return model.level_mean[ranks]
 
-    def to_adc(pa):
+    def to_adc(pa, digi, rng_pa, off):
         dwell = int(rng.integers(8, 30 if rna else 14))
         dw = rng.integers(dwell - 2, dwell + 3, size=pa.size)
         x = np.repeat(pa, dw).astype(np.float64)
         x += rng.normal(0, 1.5, x.size)
-        return np.clip(np.rint(x * DIGI / RANGE - OFF), -30000, 30000).astype(np.int16)
+        return np.clip(np.rint(x * digi / rng_pa - off), -30000, 30000).astype(np.int16)
+
+    def calibration():
+        # per-read ADC calibration variety: exercises the f32 pA
+        # conversion (raw+offset)*range/digitisation at several
+        # quantization scales (ref sigfish.c:344-347)
+        if rng.random() < 0.3:
+            return (float(rng.choice([2048.0, 4096.0, 8192.0])),
+                    float(rng.choice([748.5, 1400.0, 2048.0])),
+                    float(rng.integers(-10, 21)),
+                    float(rng.choice([3012.0, 4000.0])))
+        return DIGI, RANGE, OFF, RATE
 
     bl = os.path.join(d, "reads.blow5")
     n_reads = int(rng.integers(6, 25))
@@ -77,6 +88,7 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
            for _ in range(n_grp)]
     with Slow5Writer(bl, header_data=hdr) as w:
         for i in range(n_reads):
+            digi, rng_pa, off, rate = calibration()
             kind = rng.random()
             if kind < 0.6:  # model-derived mappable read
                 name = f"c{int(rng.integers(0, n_ctg))}"
@@ -93,7 +105,7 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
                 lv = levels(seq, start, n_ev)
                 if rna:
                     lv = lv[::-1]
-                sig = to_adc(lv)
+                sig = to_adc(lv, digi, rng_pa, off)
             elif kind < 0.8:  # pure noise
                 n = int(rng.integers(400, 9000))
                 sig = rng.integers(300, 900, n).astype(np.int16)
@@ -103,8 +115,8 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
             w.write_record(
                 Slow5Record(
                     read_id=f"f{i}", read_group=int(rng.integers(0, n_grp)),
-                    digitisation=DIGI, offset=OFF, range=RANGE,
-                    sampling_rate=RATE, raw_signal=sig,
+                    digitisation=digi, offset=off, range=rng_pa,
+                    sampling_rate=rate, raw_signal=sig,
                 )
             )
     return fa, bl
@@ -138,6 +150,13 @@ def gen_flags(rng: np.random.Generator, rna: bool) -> list[str]:
         flags.append("--sam")
     if rng.random() < 0.3:
         flags += ["-K", str(int(rng.integers(2, 9)))]
+    elif rng.random() < 0.25:
+        # byte-bounded batching: small -B caps force load_db to cut
+        # batches on the byte limit instead of K (ref sigfish.c:283-301)
+        flags += ["-B", f"{rng.choice([0.02, 0.05, 0.1])}M"]
+    if rng.random() < 0.15:
+        # early loop exit after N batches (ref dtw_main.c:322-325)
+        flags += ["--debug-break", str(int(rng.integers(1, 4)))]
     return flags
 
 
