@@ -108,7 +108,14 @@ def main() -> None:
     tmp = tempfile.mktemp(suffix=".blow5")
     try:
         n_reads = build_workload(tmp)
-        opt = Options()
+        # Batch size: the pipeline's output is invariant to K (like the
+        # reference's -K), but larger batches amortize the per-batch
+        # device-link round trips; SIGFISH_BENCH_K sweeps it.
+        bench_k = int(os.environ.get("SIGFISH_BENCH_K", "512"))
+        opt = Options(
+            batch_size=bench_k,
+            batch_size_bytes=20_000_000 * max(1, bench_k // 512),
+        )
         core = Core(REF_FASTA, tmp, opt)
 
         # warmup: first batch pays device compile
@@ -120,7 +127,14 @@ def main() -> None:
         # best of two passes (XLA/compile-cache warmth varies run to run)
         rps = 0.0
         for _ in range(2):
-            core = Core(REF_FASTA, tmp, Options())
+            core = Core(
+                REF_FASTA,
+                tmp,
+                Options(
+                    batch_size=bench_k,
+                    batch_size_bytes=20_000_000 * max(1, bench_k // 512),
+                ),
+            )
             t0 = time.time()
             sink = io.StringIO()
             run_dtw(core, sink)
