@@ -220,3 +220,24 @@ def test_press_matrix_identical_output(tmp_path):
         )
     assert all(o == outs[0] for o in outs[1:]), "press combos diverge"
     assert outs[0].count("\n") == len(recs)
+
+
+def test_library_example_runs():
+    """examples/map_reads.py (the README Library API tour) must keep
+    working; run it in-process with stdout captured."""
+    import contextlib
+    import os
+    import runpy
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "map_reads.py",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        runpy.run_path(path, run_name="__main__")
+    out = buf.getvalue()
+    assert "wrote + re-read 5 records" in out
+    assert out.count("MN908947.3:") == 5
+    assert "batch 2: 1 reads, 1 mapped" in out
