@@ -31,20 +31,39 @@ import numpy as np
 ORACLE = os.environ.get("ORACLE", "/tmp/refbuild/sigfish")
 DNA_TSV = "/tmp/sigfish_models/r9.4_dna_6mer.tsv"
 RNA_TSV = "/tmp/sigfish_models/r9.4_rna_5mer.tsv"
+R10_TSV = "/tmp/sigfish_models/r10.4_dna_9mer.tsv"
+RNA004_TSV = "/tmp/sigfish_models/rna004_rna_9mer.tsv"
+
+# SIGFISH_FUZZ_PORE=r10|rna004 fuzzes the 9-mer chemistries: the BLOW5
+# header carries a sequencing_kit that both sides auto-detect from
+# (ref pore_detect sigfish.c:53-77; the C binary's --pore rna004 CLI
+# path is unreachable due to its dtw_main.c:223 bug, so header
+# detection is the only way to drive the oracle into these paths),
+# and --kmer-model supplies the same 9-mer table to both. Exercises
+# k=9 rank packing in genref and the RNA004 jnn parameter set.
+PORE_KIT = {"r10": "sqk-lsk114", "rna004": "sqk-rna004"}
 
 DIGI, RANGE, OFF, RATE = 8192.0, 1400.0, 5.0, 4000.0
 
 
-def gen_workload(rng: np.random.Generator, rna: bool, d: str):
+def gen_workload(rng: np.random.Generator, rna: bool, d: str, pore: str = "r9"):
     from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
     from sigfish_tpu.models.genref import _seq_bytes, kmer_ranks, reverse_complement
     from sigfish_tpu.models.pore_model import (
         MODEL_ID_DNA_R9,
+        MODEL_ID_DNA_R10,
         MODEL_ID_RNA_R9,
+        MODEL_ID_RNA_RNA004,
         load_builtin_model,
     )
 
-    model = load_builtin_model(MODEL_ID_RNA_R9 if rna else MODEL_ID_DNA_R9)
+    mid = {
+        ("r9", False): MODEL_ID_DNA_R9,
+        ("r9", True): MODEL_ID_RNA_R9,
+        ("r10", False): MODEL_ID_DNA_R10,
+        ("rna004", True): MODEL_ID_RNA_RNA004,
+    }[(pore, rna)]
+    model = load_builtin_model(mid)
     k = model.kmer_size
     n_ctg = int(rng.integers(1, 6))
     seqs = {}
@@ -84,12 +103,24 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str):
     # sometimes two read groups (exercises per-group header_get +
     # multi-group auto-detect warnings, ref sigfish.c:118-135)
     n_grp = 2 if rng.random() < 0.2 else 1
-    hdr = [{"experiment_type": "rna" if rna else "genomic_dna"}
-           for _ in range(n_grp)]
+    attrs = {"experiment_type": "rna" if rna else "genomic_dna"}
+    if pore != "r9":
+        attrs["sequencing_kit"] = PORE_KIT[pore]
+    hdr = [dict(attrs) for _ in range(n_grp)]
     with Slow5Writer(bl, header_data=hdr) as w:
         for i in range(n_reads):
             digi, rng_pa, off, rate = calibration()
             kind = rng.random()
+            # SIGFISH_FUZZ_MAPPABLE=1: model-derived reads only (drawn
+            # identically so seeds stay comparable). Pure-noise/short
+            # reads crash the C oracle on ~40% of workloads (the
+            # dead-code MAD-trim path: events.c:246 assert, or the
+            # trim_and_segment_raw free -> use-after-free at
+            # events.c:264/304 when trimming consumes the whole read),
+            # which turns parity trials into crash-robustness trials --
+            # useful for the default leg, noise for the 9-mer legs.
+            if os.environ.get("SIGFISH_FUZZ_MAPPABLE"):
+                kind = 0.0
             if kind < 0.6:  # model-derived mappable read
                 name = f"c{int(rng.integers(0, n_ctg))}"
                 seq = seqs[name]
@@ -162,11 +193,23 @@ def gen_flags(rng: np.random.Generator, rna: bool) -> list[str]:
 
 def run_trial(seed: int) -> bool:
     rng = np.random.default_rng(seed)
-    rna = bool(rng.random() < 0.4)
+    pore = os.environ.get("SIGFISH_FUZZ_PORE", "r9")
+    if pore == "r10":
+        rna = False
+        rng.random()  # keep the draw count aligned with the r9 stream
+    elif pore == "rna004":
+        rna = True
+        rng.random()
+    else:
+        rna = bool(rng.random() < 0.4)
     with tempfile.TemporaryDirectory() as d:
-        fa, bl = gen_workload(rng, rna, d)
+        fa, bl = gen_workload(rng, rna, d, pore=pore)
         flags = gen_flags(rng, rna)
-        tsv = RNA_TSV if rna else DNA_TSV
+        tsv = {
+            "r9": RNA_TSV if rna else DNA_TSV,
+            "r10": R10_TSV,
+            "rna004": RNA004_TSV,
+        }[pore]
         cmd_common = [fa, bl, "--kmer-model", tsv] + flags
         eng = os.environ.get("SIGFISH_FUZZ_ENGINE")
         ours_extra = ["--engine", eng] if eng else []
@@ -194,11 +237,11 @@ def run_trial(seed: int) -> bool:
             ok = rs.returncode == 0
             print(f"seed {seed}: oracle crashed (rc={ro.returncode}), "
                   f"ours rc={rs.returncode} [{'OK' if ok else 'FAIL'}] "
-                  f"{'rna' if rna else 'dna'} {' '.join(flags)}")
+                  f"{pore} {'rna' if rna else 'dna'} {' '.join(flags)}")
             return ok
         ok = rs.returncode == 0 and ro.stdout == rs.stdout
         status = "OK" if ok else "DIFF"
-        print(f"seed {seed}: {status}  {'rna' if rna else 'dna'} "
+        print(f"seed {seed}: {status}  {pore} {'rna' if rna else 'dna'} "
               f"{' '.join(flags)}  ({len(ro.stdout.splitlines())} lines)")
         if not ok:
             o = ro.stdout.decode().splitlines()

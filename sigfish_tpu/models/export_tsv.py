@@ -15,7 +15,9 @@ import numpy as np
 
 from .pore_model import (
     MODEL_ID_DNA_R9,
+    MODEL_ID_DNA_R10,
     MODEL_ID_RNA_R9,
+    MODEL_ID_RNA_RNA004,
     load_builtin_model,
 )
 
@@ -38,7 +40,12 @@ def write_tsv(path: str, kmer_size: int, level_mean, level_stdv) -> None:
 
 def main(out_dir: str = "/tmp/sigfish_models") -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for mid, name in ((MODEL_ID_DNA_R9, "r9.4_dna_6mer"), (MODEL_ID_RNA_R9, "r9.4_rna_5mer")):
+    for mid, name in (
+        (MODEL_ID_DNA_R9, "r9.4_dna_6mer"),
+        (MODEL_ID_RNA_R9, "r9.4_rna_5mer"),
+        (MODEL_ID_DNA_R10, "r10.4_dna_9mer"),
+        (MODEL_ID_RNA_RNA004, "rna004_rna_9mer"),
+    ):
         m = load_builtin_model(mid)
         p = os.path.join(out_dir, f"{name}.tsv")
         write_tsv(p, m.kmer_size, m.level_mean, m.level_stdv)
