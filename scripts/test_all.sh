@@ -64,6 +64,13 @@ if [ "${1:-}" = "full" ]; then
   if [ -x /tmp/refbuild/sigfish ]; then
     python scripts/parity_fuzz.py 10 2000 || FAIL=1
     python scripts/parity_fuzz_eval.py 10 6000 || FAIL=1
+    # 9-mer chemistry legs (R10 / RNA004 via header auto-detection)
+    [ -f /tmp/sigfish_models/rna004_rna_9mer.tsv ] || \
+        python -m sigfish_tpu.models.export_tsv
+    SIGFISH_FUZZ_PORE=r10 SIGFISH_FUZZ_MAPPABLE=1 \
+        python scripts/parity_fuzz.py 3 60000 || FAIL=1
+    SIGFISH_FUZZ_PORE=rna004 SIGFISH_FUZZ_MAPPABLE=1 \
+        python scripts/parity_fuzz.py 3 61000 || FAIL=1
   else
     echo "SKIP: oracle not built"
   fi
