@@ -9,8 +9,9 @@ mapping pipeline needs, built for batch decode into numpy arrays:
     ref: slow5lib/src/slow5.c:792-880 (header), :3191-3280 (get_next_mem)
   - record decode: zlib/zstd/none record compression, then fixed columns
     read_id/read_group/digitisation/offset/range/sampling_rate/
-    len_raw_signal/raw_signal; auxiliary fields are skipped (the mapper
-    does not use them).
+    len_raw_signal/raw_signal; auxiliary fields parse on demand
+    (`decode_record(with_aux=True)` + typed accessors; the mapper's hot
+    path skips them).
     ref: slow5lib/src/slow5.c:2575-2607 (depress-parse), :2806-2942
     (binary column parse); slow5lib/include/slow5/slow5_defs.h:84-94
   - signal codec `svb-zd` (zigzag + delta + streamvbyte), decoded fully
