@@ -144,3 +144,39 @@ def test_svb_truncated_signal(tmp_path):
             assert rec.raw_signal.size == 5000  # only if it padded safely
         except (ValueError, IOError):
             pass
+
+
+def test_pre_0_2_header_no_signal_press_byte(tmp_path):
+    """BLOW5 < 0.2.0 has no signal-press header byte (slow5lib reads it
+    only for >= 0.2.0, slow5.c:824): byte 14 is padding there and must
+    be ignored even if nonzero, with signal compression defaulting to
+    none."""
+    p = str(tmp_path / "old.blow5")
+    rng = np.random.default_rng(3)
+    sigs = [rng.integers(-800, 800, 700).astype(np.int16) for _ in range(3)]
+    with Slow5Writer(
+        p,
+        header_data=[{"experiment_type": "genomic_dna"}],
+        rec_press="zlib",
+        sig_press="none",
+    ) as w:
+        for i, s in enumerate(sigs):
+            w.write_record(
+                Slow5Record(
+                    read_id=f"r{i}", read_group=0, digitisation=8192.0,
+                    offset=3.0, range=1400.0, sampling_rate=4000.0,
+                    raw_signal=s,
+                )
+            )
+    buf = bytearray(open(p, "rb").read())
+    buf[6:9] = bytes([0, 1, 2])  # version 0.1.2
+    buf[14] = 0xEE  # padding in 0.1.x; a 0.2 parser would reject it
+    open(p, "wb").write(bytes(buf))
+
+    with Slow5File(p) as sf:
+        assert sf.version == (0, 1, 2)
+        assert sf.sig_press == "none"
+        recs = list(sf)
+    assert len(recs) == 3
+    for r, s in zip(recs, sigs):
+        assert np.array_equal(r.raw_signal, s)
