@@ -57,10 +57,16 @@ def init_distributed(
     from jax._src import distributed as _dist
 
     if _dist.global_state.client is None:
+        # generous timeouts: on an oversubscribed host a peer process can
+        # be starved of CPU for minutes (observed under concurrent test
+        # load); the defaults (300 s init / 100 s heartbeat) then fail a
+        # healthy cluster
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            initialization_timeout=600,
+            heartbeat_timeout_seconds=600,
         )
 
 

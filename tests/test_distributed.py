@@ -34,27 +34,54 @@ def _env() -> dict[str, str]:
     return env
 
 
-def _run_cluster(n_hosts: int, tmp_path, extra: list[str]) -> str:
+# coordination-service failure signatures that mean "starved host on an
+# oversubscribed machine", not a product bug -- retried once
+_FLAKY = ("DEADLINE_EXCEEDED", "Timed out", "timed out", "UNAVAILABLE",
+          "heartbeat")
+
+
+def _cluster_once(n_hosts: int, fa: str, bl: str, outs: list[str],
+                  extra: list[str]) -> list[str] | None:
+    """Run one N-process cluster; returns per-host stderr on failure,
+    None on success."""
     port = _free_port()
-    procs = []
-    outs = [str(tmp_path / f"h{i}.paf") for i in range(n_hosts)]
-    for i in range(n_hosts):
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable, "-m", "sigfish_tpu.cli", "dtw", FA, BL,
-                    "--hosts", str(n_hosts), "--host-id", str(i),
-                    "--coordinator", f"localhost:{port}", "-o", outs[i],
-                ]
-                + extra,
-                env=_env(),
-                stderr=subprocess.PIPE,
-                cwd="/root/repo",
-            )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "sigfish_tpu.cli", "dtw", fa, bl,
+                "--hosts", str(n_hosts), "--host-id", str(i),
+                "--coordinator", f"localhost:{port}", "-o", outs[i],
+            ]
+            + extra,
+            env=_env(),
+            stderr=subprocess.PIPE,
+            cwd="/root/repo",
         )
-    for i, p in enumerate(procs):
+        for i in range(n_hosts)
+    ]
+    errs, rcs = [], []
+    for p in procs:
         _, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-2000:]}"
+        errs.append(err.decode())
+        rcs.append(p.returncode)
+    return None if all(rc == 0 for rc in rcs) else errs
+
+
+def _run_cluster_files(n_hosts: int, fa: str, bl: str, outs: list[str],
+                       extra: list[str]) -> None:
+    errs = _cluster_once(n_hosts, fa, bl, outs, extra)
+    if errs is not None and any(
+        sig in e for e in errs for sig in _FLAKY
+    ):
+        errs = _cluster_once(n_hosts, fa, bl, outs, extra)  # retry once
+    assert errs is None, "cluster failed:\n" + "\n---\n".join(
+        e[-2000:] for e in errs
+    )
+
+
+def _run_cluster(n_hosts: int, tmp_path, extra: list[str]) -> str:
+    outs = [str(tmp_path / f"h{i}.paf") for i in range(n_hosts)]
+    _run_cluster_files(n_hosts, FA, BL, outs, extra)
     # hosts 1..N-1 emit nothing; host 0 emits the ordered merge
     for i in range(1, n_hosts):
         assert os.path.getsize(outs[i]) == 0
@@ -145,19 +172,7 @@ def test_multiprocess_rna_byte_identical(tmp_path):
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     single = open(out).read()
 
-    port = _free_port()
     outs = [str(tmp_path / f"rh{i}.paf") for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "sigfish_tpu.cli", "dtw", fa, bl,
-             "--hosts", "2", "--host-id", str(i),
-             "--coordinator", f"localhost:{port}", "-o", outs[i]] + extra,
-            env=_env(), stderr=subprocess.PIPE, cwd="/root/repo",
-        )
-        for i in range(2)
-    ]
-    for i, p in enumerate(procs):
-        _, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"host {i} failed:\n{err.decode()[-2000:]}"
+    _run_cluster_files(2, fa, bl, outs, extra)
     assert open(outs[0]).read() == single
     assert len(single.splitlines()) == 8
