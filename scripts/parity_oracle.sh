@@ -6,17 +6,12 @@
 # blob), but read_model() accepts nanopolish-style TSVs, so byte-level
 # parity is checked end-to-end with OUR trained model on both sides.
 #
-# Setup (once):
-#   cp -r /root/reference /tmp/refbuild
-#   printf '%s\n' '#ifndef MODEL_H' '#define MODEL_H' \
-#     'static float r9_4_450bps_nucleotide_6mer_template_model_builtin_data[4096*2];' \
-#     'static float r9_4_70bps_u_to_t_rna_5mer_template_model_builtin_data[1024*2];' \
-#     'static float r10_4_400bps_nucleotide_9mer_template_model_builtin_data[262144*2];' \
-#     'static float rna004_130bps_u_to_t_rna_9mer_template_model_builtin_data[262144*2];' \
-#     '#endif' > /tmp/refbuild/src/model.h
-#   make -C /tmp/refbuild -j8
-#   python -m sigfish_tpu.models.export_tsv   # writes /tmp/sigfish_models/*.tsv
+# Setup is automatic: scripts/build_oracle.sh bootstraps /tmp/refbuild
+# (stub model.h for the stripped blob) + /tmp/sigfish_models TSVs.
 set -u
+cd "$(dirname "$0")/.." 2>/dev/null || true
+# bootstrap the oracle + model TSVs if absent (idempotent)
+[ -x "${ORACLE:-/tmp/refbuild/sigfish}" ] || bash scripts/build_oracle.sh
 # byte parity is engine-independent (all engines are bit-exact; the
 # native CPU engine is the fastest oracle-comparable path) -- run our
 # CLI on the CPU so no case pays device compile / axon first-touch cost.

@@ -53,6 +53,7 @@ check_gate rna /root/reference/test/sequin_rna.minimap2.paf "$TMP/rna.paf" 100.0
 
 if [ "${1:-}" = "full" ]; then
   note "stage 3: oracle byte-parity matrix"
+  bash scripts/build_oracle.sh || echo "WARN: oracle bootstrap failed"
   if [ -x /tmp/refbuild/sigfish ]; then
     bash scripts/parity_oracle.sh | tee "$TMP/parity.txt"
     grep -q "0 diff" "$TMP/parity.txt" || FAIL=1
