@@ -166,7 +166,16 @@ def dtw_main(argv: list[str]) -> int:
 
         init_distributed(coordinator, n_hosts, host_id)
 
-    out_fp = sys.stdout if args.output in (None, "-") else open(args.output, "w")
+    # peers (host_id != 0) never write the merged output: do not open
+    # (and truncate) --output on them -- all hosts are typically given
+    # the same path on a shared filesystem, and a peer restarting after
+    # host 0 finished must not wipe the result
+    if args.output in (None, "-"):
+        out_fp = sys.stdout
+    elif n_hosts > 1 and host_id != 0:
+        out_fp = None
+    else:
+        out_fp = open(args.output, "w")
     core = Core(args.genome, args.reads, opt)
 
     if n_hosts > 1:
@@ -260,7 +269,7 @@ def dtw_main(argv: list[str]) -> int:
         f"Peak RAM: {peakrss()/1024.0/1024.0/1024.0:.3f} GB\n"
     )
     core.close()
-    if out_fp is not sys.stdout:
+    if out_fp is not None and out_fp is not sys.stdout:
         out_fp.close()
     return 0
 

@@ -449,6 +449,17 @@ class Slow5File:
             total += len(blob)
         return out
 
+    def read_id_of(self, blob: bytes) -> str:
+        """Parse only the read_id from a raw record blob -- record-level
+        decompression is unavoidable (the id sits inside the compressed
+        region) but the signal is never touched. Used by the index
+        builder (ref slow5_idx_build reads ids the same way)."""
+        if self.format == "ascii":
+            return blob.split(b"\t", 1)[0].decode("ascii")
+        mem = _decompress_record(blob, self.rec_press)
+        (rid_len,) = struct.unpack_from("<H", mem, 0)
+        return bytes(mem[2 : 2 + rid_len]).decode("ascii")
+
     def decode_record(self, blob: bytes, with_aux: bool = False) -> Slow5Record:
         """ref: slow5_rec_depress_parse + binary/ascii column parse.
 

@@ -100,8 +100,10 @@ class Slow5Index:
                     blob = fp.read(size)
                     if len(blob) != size:
                         raise IOError(f"{sf.path}: truncated record")
-                    rec = sf.decode_record(blob)
-                    idx.insert(rec.read_id, offset, 8 + size)
+                    # only the read_id is needed: skip the signal decode
+                    # (record decompression alone dominates, and svb is
+                    # ~25% of a full decode on compressed files)
+                    idx.insert(sf.read_id_of(blob), offset, 8 + size)
         finally:
             fp.seek(saved)
         return idx
@@ -136,8 +138,17 @@ class Slow5Index:
         return idx
 
     def write(self, path: str) -> None:
-        """Emit the binary `.idx` layout (ref slow5_idx_write)."""
-        with open(path, "wb") as fp:
+        """Emit the binary `.idx` layout (ref slow5_idx_write).
+
+        Atomic: written to a same-directory temp file then rename()d
+        into place, so a concurrent reader (multi-host startup, every
+        host racing to create the sidecar) can never observe a partial
+        index -- it sees either no file or a complete one.
+        """
+        import os
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fp:
             fp.write(INDEX_MAGIC)
             fp.write(struct.pack("<BBB", *self.version))
             fp.write(b"\x00" * (INDEX_HEADER_SIZE - fp.tell()))
@@ -147,3 +158,8 @@ class Slow5Index:
                 fp.write(rb)
                 fp.write(struct.pack("<QQ", offset, size))
             fp.write(INDEX_EOF)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+            raise

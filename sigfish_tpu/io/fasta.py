@@ -22,12 +22,21 @@ def _open_maybe_gz(path: str):
 
 def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
     """Yield (name, seq). Name is the first whitespace-delimited token,
-    matching kseq semantics (seq->name.s)."""
+    matching kseq semantics (seq->name.s). FASTQ input is accepted the
+    way kseq accepts it: after the '+' separator, quality bytes are
+    consumed until their length reaches the sequence length (kseq.h
+    ks_getuntil loop) -- quality lines starting with '@' or '>' are NOT
+    record boundaries."""
     name = None
     chunks: list[str] = []
+    seq_len = 0
+    qual_left = 0
     with _open_maybe_gz(path) as fp:
         for line in fp:
             line = line.rstrip("\r\n")
+            if qual_left > 0:
+                qual_left -= len(line)
+                continue
             if not line:
                 continue
             if line.startswith(">") or line.startswith("@"):
@@ -36,8 +45,9 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
                 name = line[1:].split()[0] if len(line) > 1 else ""
                 chunks = []
             elif line.startswith("+") and name is not None and chunks:
-                # FASTQ quality section: kseq skips it; minimal handling
-                continue
+                # FASTQ quality section follows, same byte count as seq
+                seq_len = sum(len(c) for c in chunks)
+                qual_left = seq_len
             else:
                 chunks.append(line)
         if name is not None:

@@ -80,6 +80,8 @@ def _load():
     lib.sf_detect_events.restype = ctypes.c_int32
     lib.sf_zscore.argtypes = [f32p, ctypes.c_int64]
     lib.sf_zscore.restype = None
+    lib.sf_meanf.argtypes = [f32p, ctypes.c_int64]
+    lib.sf_meanf.restype = ctypes.c_float
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.sf_jnn_segments.argtypes = [
         f64p, ctypes.c_int64, ctypes.c_double, ctypes.c_int64, i64p,
@@ -252,6 +254,17 @@ def zscore_inplace(x: np.ndarray) -> bool:
     assert x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
     lib.sf_zscore(x, x.size)
     return True
+
+
+def meanf_seq(x: np.ndarray) -> float | None:
+    """Sequential-f32 mean (reference stat.h:17 meanf). None if the
+    native library is unavailable -- callers fall back to a Python loop
+    with the identical accumulation order."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    return float(lib.sf_meanf(x, x.size))
 
 
 def blow5_decode(blob: bytes, rec_press: str, sig_press: str):

@@ -431,6 +431,15 @@ void sf_zscore(float* x, int64_t n) {
     for (int64_t j = 0; j < n; j++) x[j] = (x[j] - mean) / stdv;
 }
 
+// Sequential-f32 mean, the reference's stat.h:17 meanf: the polyA band
+// thresholds are m_a+30±20 with m_a computed this way, and a pairwise
+// (numpy) summation can flip a borderline in-band sample.
+float sf_meanf(const float* x, int64_t n) {
+    float sum = 0.0f;
+    for (int64_t j = 0; j < n; j++) sum += x[j];
+    return sum / (float)n;
+}
+
 // ------------------------------------------------------------- events
 
 // One sliding Welch t-stat pass: bit-exact with events.c:319-368 --
@@ -948,6 +957,11 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
         memcpy(&count, sv, 4);
         if ((int64_t)count > signal_cap) { free(heap); return -1; }
         int64_t nctrl = ((int64_t)count + 3) / 4;
+        // the whole control region must sit inside the blob BEFORE any
+        // ctrl[i>>2] read: the per-value check below only bounds the
+        // data pointer, and a crafted count with a short blob would
+        // otherwise read past the caller's buffer
+        if (4 + nctrl > (int64_t)len_raw) { free(heap); return -1; }
         const uint8_t* ctrl = sv + 4;
         const uint8_t* data = sv + 4 + nctrl;
         const uint8_t* dend = sv + len_raw;

@@ -58,6 +58,23 @@ PORE_R10 = 1
 PORE_RNA004 = 2
 
 
+def _meanf(x: np.ndarray) -> float:
+    """Sequential-f32 mean, exactly the reference's stat.h:17 meanf.
+
+    numpy's np.mean uses pairwise summation, which rounds differently;
+    m_a feeds the hard polyA band (m_a+30±20, sigfish.c:388-396), so a
+    1-ulp shift can flip a borderline sample in or out of the band."""
+    from .. import native
+
+    m = native.meanf_seq(x)
+    if m is not None:
+        return m
+    s = np.float32(0.0)
+    for v in x.astype(np.float32):
+        s += v
+    return float(s / np.float32(len(x)))
+
+
 def _rm_outlier(x: np.ndarray) -> np.ndarray:
     return np.clip(x.astype(np.float64), OUTLIER_MIN, OUTLIER_MAX)
 
@@ -275,7 +292,7 @@ def detect_polya_end(
     if ay <= 0:
         return -1
     assert ay < n
-    m_a = float(np.mean(signal_pa[ax:ay].astype(np.float32)))
+    m_a = _meanf(signal_pa[ax:ay].astype(np.float32))
     px, py = find_polya(signal_pa[ay:], m_a + 30 + 20, m_a + 30 - 20, pore)
     if py <= 0:
         return -1

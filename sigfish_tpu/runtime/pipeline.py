@@ -256,6 +256,12 @@ class Core:
                 n_tp = n_dev
                 ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt, align=W)
                 unit = opt.ckpt * W // _math.gcd(opt.ckpt, W)
+                if self.use_pallas:
+                    # the wavefront kernel tiles diagonals in td=128
+                    # chunks (sdtw_pallas: D % td == 0): segment widths
+                    # must also be 128-aligned or an odd --ckpt/-q combo
+                    # trips the kernel's assert at trace time
+                    unit = unit * 128 // _math.gcd(unit, 128)
                 # + pad_q: the wavefront ring needs >= lane (= W-1) PAD
                 # diagonals after the last real column to flush its
                 # emissions (parallel/shard.ring_fullref_lastrow_wavefront)

@@ -82,9 +82,10 @@ def _run_cluster_files(n_hosts: int, fa: str, bl: str, outs: list[str],
 def _run_cluster(n_hosts: int, tmp_path, extra: list[str]) -> str:
     outs = [str(tmp_path / f"h{i}.paf") for i in range(n_hosts)]
     _run_cluster_files(n_hosts, FA, BL, outs, extra)
-    # hosts 1..N-1 emit nothing; host 0 emits the ordered merge
+    # hosts 1..N-1 emit nothing -- they never even open their --output
+    # (all hosts typically share one path); host 0 emits the ordered merge
     for i in range(1, n_hosts):
-        assert os.path.getsize(outs[i]) == 0
+        assert not os.path.exists(outs[i]) or os.path.getsize(outs[i]) == 0
     return open(outs[0]).read()
 
 
