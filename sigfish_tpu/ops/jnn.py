@@ -113,8 +113,6 @@ def jnnv2(sig_raw: np.ndarray, param: JnnV2Param) -> tuple[int, int]:
     std = float(np.std(t))
     bot = mn - std * param.std_scale
 
-    from .. import native
-
     nat_segs = native.jnn_segments(t, bot, param.seg_dist)
     if nat_segs is not None:
         segs = [[int(a), int(b)] for a, b in nat_segs]

@@ -150,21 +150,35 @@ def gather_ordered(data: bytes, process_id: int, num_processes: int,
         return None
     parts: list[bytes] = []
     for h in range(num_processes):
-        nc = int(
-            client.blocking_key_value_get(
-                f"{_GATHER_PREFIX}/{rnd}/{h}/nchunks", timeout_ms
-            )
-        )
+        key = f"{_GATHER_PREFIX}/{rnd}/{h}/nchunks"
+        nc = int(client.blocking_key_value_get(key, timeout_ms))
+        _kv_delete(client, key)
         for c in range(nc):
+            key = f"{_GATHER_PREFIX}/{rnd}/{h}/{c}"
             parts.append(
                 base64.b64decode(
-                    client.blocking_key_value_get(
-                        f"{_GATHER_PREFIX}/{rnd}/{h}/{c}", timeout_ms
-                    )
+                    client.blocking_key_value_get(key, timeout_ms)
                 )
             )
+            # free each chunk as it is consumed: the coordination
+            # service otherwise retains every host's full (base64)
+            # payload until cluster shutdown -- at multi-GB output
+            # scale that is an OOM on host 0
+            _kv_delete(client, key)
     client.key_value_set(f"{_GATHER_PREFIX}/{rnd}/done", "1")
     return b"".join(parts)
+
+
+def _kv_delete(client, key: str) -> None:
+    """Best-effort KV delete (API name varies across jax versions)."""
+    for name in ("key_value_delete", "key_value_dir_delete"):
+        fn = getattr(client, name, None)
+        if fn is not None:
+            try:
+                fn(key)
+            except Exception:
+                pass
+            return
 
 
 def shutdown_distributed() -> None:

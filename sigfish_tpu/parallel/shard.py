@@ -34,7 +34,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.sdtw import make_query_batch, sdtw_scan
+from ..ops.sdtw import _column_update, make_query_batch, sdtw_scan
 
 
 def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
@@ -182,7 +182,7 @@ def sharded_engine(
     )(queries, row_onehot, qlens, ref, reset, ypad, rspad)
 
 
-@partial(jax.jit, static_argnames=("mesh", "n_micro", "ckpt"))
+@partial(jax.jit, static_argnames=("mesh", "n_micro"))
 def ring_fullref_lastrow(
     queries: jnp.ndarray,   # (B, Q) f32, replicated; B divisible by n_micro
     row_onehot: jnp.ndarray,  # (B, Q)
@@ -190,7 +190,6 @@ def ring_fullref_lastrow(
     seg_reset: jnp.ndarray,  # (n_tp, Rs) bool track-start resets (may be 0)
     mesh: Mesh,
     n_micro: int,
-    ckpt: int = 512,
 ) -> jnp.ndarray:
     """Reference-axis sharding by contiguous *columns* (not whole tracks):
     the scan for a huge --full-ref contig (SURVEY §5 long-context). The
@@ -223,7 +222,9 @@ def ring_fullref_lastrow(
                 y, rs = inp
                 local_c = jnp.abs(qm - y)
                 c = jnp.where(rs, BIGv, c)
-                new = _col_update_noreset(c, local_c)
+                # the single-device scan's column update, shared so the
+                # ring engine can never drift from sdtw_scan's numerics
+                new = _column_update(c, local_c)
                 lr = jnp.sum(new * ohm, axis=1)
                 return new, lr
             col, lr_cols = jax.lax.scan(col_step, carry_col, (seg1, rst1))
@@ -362,18 +363,6 @@ def ring_fullref_lastrow_wavefront(
         out_specs=P(),
         check_vma=False,
     )(queries, seg_ypad, seg_rspad)
-
-
-def _col_update_noreset(c: jnp.ndarray, local: jnp.ndarray) -> jnp.ndarray:
-    """Single DP column update (prefix-min identity), no track resets."""
-    s = jnp.cumsum(local, axis=1, dtype=jnp.float32)
-    c_up = jnp.concatenate(
-        [jnp.full_like(c[:, :1], np.float32(3.0e38)), c[:, :-1]], axis=1
-    )
-    m = jnp.minimum(c, c_up)
-    t = jnp.concatenate([jnp.zeros_like(s[:, :1]), m[:, 1:] - s[:, :-1]], axis=1)
-    g = jax.lax.associative_scan(jnp.minimum, t, axis=1)
-    return s + g
 
 
 def sharded_sdtw_step(

@@ -164,6 +164,9 @@ class Core:
         # fast path (_prepare_read_prefix); EMA-refined from real reads
         # (placed after auto-detection so opt.rna is final)
         self._dwell_ema = 22.0 if opt.rna else 10.0
+        import threading as _threading
+
+        self._dwell_lock = _threading.Lock()
 
         # --- model
         if opt.model_file:
@@ -207,7 +210,6 @@ class Core:
             if self.ref.reverse is not None:
                 tracks.append(self.ref.reverse[j])
                 self.track_meta.append((j, "-"))
-        import jax
 
         # engine: Pallas wavefront on TPU; on CPU-only hosts the native
         # C++ two-row DP (the reference's own execution model, threaded)
@@ -469,7 +471,7 @@ class Core:
                 lr = ring_fullref_lastrow(
                     jnp.asarray(qb), jnp.asarray(onehot),
                     self.ring_ref_dev, self.ring_reset_dev,
-                    self.mesh, n_micro=n_micro, ckpt=self.opt.ckpt,
+                    self.mesh, n_micro=n_micro,
                 )
             qlens_dev2 = jnp.asarray(qlens.astype(np.int32))
             R_ring = self.ref_cat.shape[0]
@@ -696,8 +698,6 @@ class Core:
     def _host_top5(self, lr_row: np.ndarray, qlen: int):
         """Window scan + update_aln top-5 for one read (exact reference
         semantics, arbitrary window width)."""
-        from ..ops.candidates import window_argmin
-
         cand_s: list[float] = []
         cand_p: list[int] = []
         for t in range(len(self.tracks)):
@@ -941,9 +941,13 @@ def _prepare_read_prefix(core: Core, w: ReadWork) -> ReadWork | None:
                 start_idx = start_known
             needed = (start_idx if start_idx >= 0 else n_safe) + need_past_start
             if start_idx >= 0 and n_safe >= needed:
-                core._dwell_ema = 0.9 * core._dwell_ema + 0.1 * (
-                    float(starts[-1]) / n_safe
-                )
+                # guarded read-modify-write: thread-pool workers update
+                # the EMA concurrently and a lost update would make the
+                # prefix-size estimate nondeterministic run to run
+                with core._dwell_lock:
+                    core._dwell_ema = 0.9 * core._dwell_ema + 0.1 * (
+                        float(starts[-1]) / n_safe
+                    )
                 w.event_start = et.start[:n_safe]
                 w.event_length = et.length[:n_safe]
                 w.event_mean = et.mean[:n_safe].copy()
