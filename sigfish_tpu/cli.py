@@ -186,9 +186,13 @@ def dtw_main(argv: list[str]) -> int:
         rng = compute_host_ranges(core.sf, n_hosts)[host_id]
         core.sf.seek_record(rng.file_offset, rng.rec_start)
         opt.rec_limit = rng.n_records
+        # disk-backed body: a host never holds its full output in RAM
+        # (it is streamed through the gather in bounded chunks)
         import io as _io
+        import tempfile as _tempfile
 
-        body_fp: object = _io.StringIO()
+        body_raw = _tempfile.TemporaryFile("w+b")
+        body_fp: object = _io.TextIOWrapper(body_raw)
     else:
         body_fp = out_fp
         if core.opt.sam:
@@ -206,14 +210,19 @@ def dtw_main(argv: list[str]) -> int:
 
     if n_hosts > 1:
         # deterministic ordered emission: ranges are contiguous and in
-        # file order, so host-order concatenation reproduces the
+        # file order, so host-order streaming reproduces the
         # single-process output byte-for-byte (host 0 writes)
         from .parallel.distributed import (
-            gather_counters, gather_ordered, shutdown_distributed)
+            gather_counters, gather_ordered_stream, shutdown_distributed)
 
-        merged = gather_ordered(
-            body_fp.getvalue().encode(), host_id, n_hosts
-        )
+        if host_id == 0 and core.opt.sam:
+            out_fp.write(
+                sam_header(
+                    core.ref.ref_names, core.ref.ref_lengths, __version__
+                )
+            )
+        body_fp.flush()
+        gather_ordered_stream(body_raw, out_fp, host_id, n_hosts)
         totals = gather_counters(
             {
                 "total_reads": core.total_reads,
@@ -226,13 +235,6 @@ def dtw_main(argv: list[str]) -> int:
             n_hosts,
         )
         if host_id == 0:
-            if core.opt.sam:
-                out_fp.write(
-                    sam_header(
-                        core.ref.ref_names, core.ref.ref_lengths, __version__
-                    )
-                )
-            out_fp.write(merged.decode())
             out_fp.flush()
             sys.stderr.write(
                 f"[dtw_main] (all {n_hosts} hosts) total entries: "

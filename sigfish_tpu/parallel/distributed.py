@@ -181,6 +181,84 @@ def _kv_delete(client, key: str) -> None:
             return
 
 
+def gather_ordered_stream(
+    body_fp,
+    out_fp,
+    process_id: int,
+    num_processes: int,
+    timeout_ms: int = 600_000,
+    chunk: int | None = None,
+    window: int | None = None,
+) -> None:
+    """Stream every host's body file into ``out_fp`` on host 0, in host
+    order, with bounded memory on every node.
+
+    ``body_fp`` is each host's own output as a seekable *binary* file
+    (disk-backed, so a host never holds its full output in RAM).
+    Host 0 writes its own body straight to ``out_fp`` (no KV round
+    trip), then drains peers in host order, deleting each chunk as it
+    lands. Peers publish base64 chunks under a credit window: chunk c
+    goes up only after host 0 acknowledged chunk c-window, so the
+    coordination service holds at most ~window chunks per peer at any
+    moment instead of the whole payload. Output bytes are ASCII
+    (PAF/SAM), so chunk-boundary decoding is safe.
+
+    Env overrides (mainly for tests): SIGFISH_GATHER_CHUNK bytes,
+    SIGFISH_GATHER_WINDOW chunks.
+    """
+    import os
+
+    if chunk is None:
+        chunk = int(os.environ.get("SIGFISH_GATHER_CHUNK", 2 * 1024 * 1024))
+    if window is None:
+        window = int(os.environ.get("SIGFISH_GATHER_WINDOW", 8))
+    client = _kv_client() if num_processes > 1 else None
+    rnd = _gather_round[0]
+    _gather_round[0] += 1
+    pre = f"{_GATHER_PREFIX}/s{rnd}"
+
+    body_fp.seek(0, 2)
+    size = body_fp.tell()
+    body_fp.seek(0)
+    nchunks = (size + chunk - 1) // chunk if size else 0
+
+    if process_id != 0:
+        client.key_value_set(f"{pre}/{process_id}/nchunks", str(nchunks))
+        for c in range(nchunks):
+            if c >= window:
+                ack = f"{pre}/ack/{process_id}/{c - window}"
+                client.blocking_key_value_get(ack, timeout_ms)
+                _kv_delete(client, ack)
+            blob = body_fp.read(chunk)
+            client.key_value_set(
+                f"{pre}/{process_id}/{c}",
+                base64.b64encode(blob).decode("ascii"),
+            )
+        client.blocking_key_value_get(f"{pre}/done", timeout_ms)
+        return
+
+    while True:
+        blob = body_fp.read(chunk)
+        if not blob:
+            break
+        out_fp.write(blob.decode())
+    for h in range(1, num_processes):
+        key = f"{pre}/{h}/nchunks"
+        nc = int(client.blocking_key_value_get(key, timeout_ms))
+        _kv_delete(client, key)
+        for c in range(nc):
+            key = f"{pre}/{h}/{c}"
+            out_fp.write(
+                base64.b64decode(
+                    client.blocking_key_value_get(key, timeout_ms)
+                ).decode()
+            )
+            _kv_delete(client, key)
+            client.key_value_set(f"{pre}/ack/{h}/{c}", "1")
+    if client is not None:
+        client.key_value_set(f"{pre}/done", "1")
+
+
 def shutdown_distributed() -> None:
     """Coordinated cluster disconnect before process exit.
 

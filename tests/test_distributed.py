@@ -177,3 +177,24 @@ def test_multiprocess_rna_byte_identical(tmp_path):
     _run_cluster_files(2, fa, bl, outs, extra)
     assert open(outs[0]).read() == single
     assert len(single.splitlines()) == 8
+
+
+def test_streaming_gather_multichunk_window(tmp_path):
+    """Force tiny gather chunks + a 2-chunk credit window so the merge
+    exercises multi-chunk streaming with flow control; output must stay
+    byte-identical to the single-process run."""
+    single = _run_single(tmp_path, [])
+    outs = [str(tmp_path / f"wh{i}.paf") for i in range(2)]
+    old = {k: os.environ.get(k) for k in
+           ("SIGFISH_GATHER_CHUNK", "SIGFISH_GATHER_WINDOW")}
+    os.environ["SIGFISH_GATHER_CHUNK"] = "128"
+    os.environ["SIGFISH_GATHER_WINDOW"] = "2"
+    try:
+        _run_cluster_files(2, FA, BL, outs, [])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert open(outs[0]).read() == single
