@@ -98,7 +98,9 @@ def dtw_main(argv: list[str]) -> int:
         if args.full_ref:
             p.error("--full-ref is only available for RNA.")
     if args.prefix < 0:
-        if not args.rna:
+        # rna004 implies RNA (same rule as the block above): autodetect
+        # must be reachable with --pore rna004 alone
+        if not (args.rna or args.pore == "rna004"):
             p.error("DNA does not support auto query start detection.")
         if args.invert:
             p.error("Inversion is not compatible with auto query start detection.")
@@ -141,8 +143,7 @@ def dtw_main(argv: list[str]) -> int:
         i_s, n_s = args.shard.split("/")
         opt.shard_id, opt.n_shards = int(i_s), int(n_s)
         if not (0 <= opt.shard_id < opt.n_shards):
-            p_err = make_dtw_parser()
-            p_err.error(f"--shard {args.shard}: need 0 <= I < N")
+            p.error(f"--shard {args.shard}: need 0 <= I < N")
 
     # multi-host cluster (jax.distributed); env fallbacks let launchers
     # set the topology without touching the arg vector

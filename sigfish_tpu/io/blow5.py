@@ -366,8 +366,9 @@ class Slow5File:
                     # "." means missing: stored as empty string, exactly
                     # like slow5lib (slow5.c:1746-1749)
                     self.header_data[g][attr] = "" if v == "." else v
-            elif line.startswith("#char*") or line.startswith("#" ""):
-                # two aux-meta lines: types then names
+            elif line.startswith("#"):
+                # two aux-meta lines: types ("#char*...") then names
+                # ("#read_id..."); the parts[0] checks below select which
                 parts = line[1:].split("\t")
                 if parts and parts[0] == "char*":
                     self.aux_types = parts[8:]  # after the 8 main columns
@@ -554,7 +555,9 @@ class Slow5File:
                 if base in ("float", "double"):
                     val = None if np.isnan(v) else float(v)
                 elif base == "char":
-                    val = None if v == b"\x00" else v.decode("ascii")
+                    # numpy "S1" strips trailing NULs, so the missing
+                    # sentinel b"\x00" (SLOW5_CHAR_NULL) reads as b""
+                    val = None if len(v) == 0 else v.decode("ascii")
                 else:
                     iv = int(v)
                     val = None if iv == null else iv
@@ -786,7 +789,11 @@ class Slow5Writer:
                     [float("nan") if v is None else float(v)], dtype=dtype
                 ).tobytes()
             elif base == "char":
-                out += b"\x00" if v is None else str(v).encode("ascii")[:1]
+                # exactly ONE byte always: an empty string must not emit
+                # zero bytes (it would shift every following aux field);
+                # '' maps to the missing sentinel like None
+                b = b"" if v is None else str(v).encode("ascii")[:1]
+                out += b if b else b"\x00"
             else:
                 out += np.array([null if v is None else int(v)], dtype=dtype).tobytes()
         return bytes(out)

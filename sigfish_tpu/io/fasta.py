@@ -42,7 +42,8 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
             if line.startswith(">") or line.startswith("@"):
                 if name is not None:
                     yield name, "".join(chunks)
-                name = line[1:].split()[0] if len(line) > 1 else ""
+                toks = line[1:].split()
+                name = toks[0] if toks else ""  # '> ' yields an empty name
                 chunks = []
             elif line.startswith("+") and name is not None and chunks:
                 # FASTQ quality section follows, same byte count as seq

@@ -355,7 +355,13 @@ def fit_model(
         if verbose:
             align_cost = 0.0
             if it > 0:
+                # diagnostic only: _dtw_pairs re-estimates case.rate as a
+                # side effect, which would make verbose runs train
+                # differently -- snapshot and restore
+                saved_rates = [c.rate for c in cases]
                 align_cost = np.mean([_dtw_pairs(c, levels)[2] for c in cases])
+                for c, r in zip(cases, saved_rates):
+                    c.rate = r
             sys.stderr.write(
                 f"[train] iter {it}: obs={tt.size} mean|dlvl|={delta:.4f} "
                 f"cost/col={align_cost:.4f}\n"

@@ -280,6 +280,7 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
         return None
     buf = np.frombuffer(blob, dtype=np.uint8)
     cap = max(len(blob) * 16, 4096)
+    retried = False
     while True:
         sig = np.empty(cap, np.int16)
         rid = ctypes.create_string_buffer(1024)
@@ -295,8 +296,12 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
                 float(meta[0]), float(meta[1]), float(meta[2]), float(meta[3]),
                 sig[:n].copy(),
             )
-        if cap < (1 << 26):  # retry with a larger signal buffer
-            cap *= 4
+        # -2 - needed = capacity miss: retry ONCE with the exact size.
+        # -1 = malformed/unsupported: fail fast (no growth loop burning
+        # 128 MB allocations on records the decoder can never accept).
+        if n <= -2 and not retried:
+            cap = -(n + 2)
+            retried = True
             continue
         return None
 

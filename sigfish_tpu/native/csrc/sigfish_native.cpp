@@ -942,20 +942,29 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
     uint64_t len_raw;
     memcpy(&len_raw, mem + off, 8); off += 8;
 
+    // len_raw is UNTRUSTED: compare in unsigned arithmetic against the
+    // remaining byte count -- casting to int64 first lets values >= 2^63
+    // wrap negative and slip past the bounds checks (heap over-read).
+    // Capacity misses return -2 - needed so the caller can retry ONCE
+    // with the exact size instead of growth-looping on corrupt input.
     int64_t n = -1;
     if (sig_press == 0) {
+        if (len_raw > (1ull << 61) ||  /* first: u64 wrap guard for *2 */
+            len_raw * 2 > (uint64_t)(mem_len - off)) {
+            free(heap); return -1;
+        }
         n = (int64_t)len_raw;
-        if (n > signal_cap || off + n * 2 > mem_len) { free(heap); return -1; }
+        if (n > signal_cap) { free(heap); return -2 - n; }
         memcpy(signal_out, mem + off, (size_t)n * 2);
     } else if (sig_press == 1) {
         // len_raw is the BYTE count of the compressed blob (slow5.c:2880)
-        if (off + (int64_t)len_raw > mem_len || len_raw < 4) {
+        if (len_raw < 4 || len_raw > (uint64_t)(mem_len - off)) {
             free(heap); return -1;
         }
         const uint8_t* sv = mem + off;
         uint32_t count;
         memcpy(&count, sv, 4);
-        if ((int64_t)count > signal_cap) { free(heap); return -1; }
+        if ((int64_t)count > signal_cap) { free(heap); return -2 - (int64_t)count; }
         int64_t nctrl = ((int64_t)count + 3) / 4;
         // the whole control region must sit inside the blob BEFORE any
         // ctrl[i>>2] read: the per-value check below only bounds the

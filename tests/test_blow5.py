@@ -427,3 +427,27 @@ def test_native_decode_rejects_short_svb_blob():
             np.frombuffer(blob[-4:], np.uint8), "svb-zd"
         )
         assert sig.size == 1000  # unreachable unless decode over-read
+
+
+def test_char_aux_empty_and_none_roundtrip(tmp_path):
+    """char aux must always occupy exactly one byte: None and '' both
+    map to the SLOW5_CHAR_NULL sentinel and read back as None, and the
+    fields AFTER the char stay aligned."""
+    from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
+
+    p = str(tmp_path / "c.blow5")
+    meta = [("ch", "char"), ("median_before", "double")]
+    with Slow5Writer(p, header_data=[{}], aux_meta=meta) as w:
+        for i, ch in enumerate([None, "", "A"]):
+            w.write_record(
+                Slow5Record(
+                    read_id=f"r{i}", read_group=0, digitisation=8192.0,
+                    offset=0.0, range=1400.0, sampling_rate=4000.0,
+                    raw_signal=np.arange(4, dtype=np.int16),
+                    aux={"ch": ch, "median_before": 5.5},
+                )
+            )
+    with Slow5File(p) as sf:
+        recs = [sf.decode_record(b, with_aux=True) for b in iter(sf.read_next_blob, None)]
+    assert [r.aux["ch"] for r in recs] == [None, None, "A"]
+    assert all(r.aux["median_before"] == 5.5 for r in recs)
