@@ -1293,23 +1293,31 @@ def run_dtw(core: Core, out_fp) -> None:
     """The batch loop, double-buffered: batch N+1's host stages (decode,
     eventization, normalisation) run while batch N's sDTW executes on the
     device -- JAX dispatch is asynchronous, so submit_batch returns before
-    the device finishes and finish_batch is the sync point. --profile-cpu
-    drains each batch before submitting the next so the per-stage timers
-    are unoverlapped.
+    the device finishes and finish_batch is the sync point. Batch N's
+    drain (the device->host candidate fetch + backtrack + output) runs on
+    a single ordered worker thread, started BEFORE batch N+1's host
+    stages: the fetch is link-latency IO (~0.17 s/batch measured over the
+    remote-device transport) that releases the GIL, so it overlaps the
+    next batch's CPU work even on a 1-core host. --profile-cpu drains
+    each batch before submitting the next so the per-stage timers are
+    unoverlapped.
 
     ref: dtw_main.c:299-326 (sequential load->process->output loop).
     """
     import sys
+    import threading
     import time
 
     opt = core.opt
     realtime0 = time.time()
     state = {"counter": 0}
+    tlock = threading.Lock()
 
     def drain(pending: PendingBatch) -> None:
         t0 = time.time()
         lines, stats = finish_batch(core, pending)
-        core.process_db_time += time.time() - t0
+        with tlock:  # submit_batch on the main thread also accumulates
+            core.process_db_time += time.time() - t0
         import os as _os
 
         _rt = time.time() - realtime0
@@ -1331,6 +1339,10 @@ def run_dtw(core: Core, out_fp) -> None:
         core.too_short += stats.too_short
         state["counter"] += 1
 
+    import concurrent.futures as _fut2
+
+    drainer = _fut2.ThreadPoolExecutor(max_workers=1)  # ordered drains
+    drain_fut: _fut2.Future | None = None
     pending: PendingBatch | None = None
     done = False
     consumed = 0
@@ -1360,11 +1372,17 @@ def run_dtw(core: Core, out_fp) -> None:
                 f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
             )
             if opt.profile and pending is not None:
-                drain(pending)
+                drain(pending)  # unoverlapped per-stage timers
+                pending = None
+            if pending is not None:
+                # start batch N's drain BEFORE batch N+1's host stages:
+                # its device fetch is GIL-releasing IO that overlaps them
+                drain_fut = drainer.submit(drain, pending)
                 pending = None
             t0 = time.time()
             new_pending = submit_batch(core, blobs)
-            core.process_db_time += time.time() - t0
+            with tlock:
+                core.process_db_time += time.time() - t0
             if (
                 len(blobs) < opt.batch_size
                 and new_pending.stats.sum_bytes < opt.batch_size_bytes
@@ -1373,13 +1391,21 @@ def run_dtw(core: Core, out_fp) -> None:
         else:
             done = True
 
-        if pending is not None:
+        if drain_fut is not None:
+            drain_fut.result()
+            drain_fut = None
+        elif pending is not None:
             drain(pending)
-            if opt.debug_break >= 0 and state["counter"] > opt.debug_break:
-                new_pending = None
-                done = True
         pending = new_pending
+        if (
+            pending is not None
+            and opt.debug_break >= 0
+            and state["counter"] > opt.debug_break
+        ):
+            pending = None
+            done = True
 
     if pending is not None:
         if opt.debug_break < 0 or state["counter"] <= opt.debug_break:
             drain(pending)
+    drainer.shutdown(wait=True)
