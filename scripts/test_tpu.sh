@@ -97,13 +97,33 @@ assert np.array_equal(np.concatenate(outs, axis=1), full)
 print("carry kernel: chained segments bit-exact  OK")
 EOF
 
-# e2e gates on the TPU engine
+# e2e gates on the TPU engine -- asserted, not just printed
+gate() {  # gate NAME TRUTH PAF MIN_CORRECT_PCT
+  local c
+  c=$(python -m sigfish_tpu.cli eval "$2" "$3" 2>/dev/null \
+      | awk -F'[(%]' '/^correct/{print $2}')
+  awk -v c="$c" -v m="$4" 'BEGIN{exit !(c>=m)}' \
+      || { echo "FAIL $1: correct $c% < $4%"; exit 1; }
+  echo "PASS $1: correct $c% >= $4%"
+}
 python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
     /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/tpu_dna.paf
-python -m sigfish_tpu.cli eval /root/reference/test/sp1_dna.minimap2.paf \
-    /tmp/tpu_dna.paf 2>/dev/null | grep -E "correct" | head -1
+gate dna /root/reference/test/sp1_dna.minimap2.paf /tmp/tpu_dna.paf 85
 python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
     /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 2>/dev/null > /tmp/tpu_rna.paf
-python -m sigfish_tpu.cli eval /root/reference/test/sequin_rna.minimap2.paf \
-    /tmp/tpu_rna.paf 2>/dev/null | grep -E "correct" | head -1
+gate rna /root/reference/test/sequin_rna.minimap2.paf /tmp/tpu_rna.paf 75
+
+# the wavefront kernel is bitwise-exact, so the TPU-engine PAF must be
+# byte-identical to the CPU/native engine's
+JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+    /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/cpu_dna.paf
+cmp /tmp/tpu_dna.paf /tmp/cpu_dna.paf \
+    || { echo "FAIL: TPU PAF != CPU PAF"; exit 1; }
+JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+    /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 2>/dev/null > /tmp/cpu_rna.paf
+cmp /tmp/tpu_rna.paf /tmp/cpu_rna.paf \
+    || { echo "FAIL: TPU RNA PAF != CPU RNA PAF"; exit 1; }
+echo "PASS: TPU engine PAF byte-identical to CPU engine (DNA + RNA)"
 echo "TPU checks done"
