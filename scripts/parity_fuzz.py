@@ -220,6 +220,18 @@ def run_trial(seed: int) -> bool:
         else:
             env["JAX_PLATFORMS"] = "cpu"
             env["PALLAS_AXON_POOL_IPS"] = ""
+        mesh = os.environ.get("SIGFISH_FUZZ_MESH")
+        if mesh:
+            # sharded-engine leg: run our side on a virtual CPU mesh
+            # (dp x tp from e.g. "2x4") -- output must stay byte-equal
+            n_dev = 1
+            for part in mesh.lower().split("x"):
+                n_dev *= int(part)
+            ours_extra += ["--mesh", mesh]
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n_dev}"
+            )
         ro = subprocess.run(
             [ORACLE, "dtw", "-t", "1"] + cmd_common,
             capture_output=True, timeout=600,
@@ -228,7 +240,9 @@ def run_trial(seed: int) -> bool:
             [sys.executable, "-m", "sigfish_tpu.cli", "dtw"]
             + cmd_common + ours_extra,
             capture_output=True, env=env,
-            timeout=1800 if eng == "pallas" else 600,  # axon first-touch stall
+            # pallas: axon first-touch stall; mesh: CPU shard_map
+            # compiles are ~60-90 s per batch shape
+            timeout=2400 if (eng == "pallas" or mesh) else 600,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         if ro.returncode != 0:
