@@ -16,10 +16,12 @@ The skewed layout keeps every step a full (B, Q) vector op: lanes hold
 query positions, the reference value window y[d-i] is maintained by a
 roll-and-insert (one SMEM scalar per step, no dynamic lane slicing),
 and track-reset masks ride along the same way. Each step emits the
-uniform last-row lane A_d[W-1] as a static slice (W = query size;
-clipped reads with qlen != W are recomputed exactly on the host,
-finish_batch), accumulated into a (B, TD) tile; ds[:, W-1 : W-1+R] is
-the column-indexed last row.
+uniform last-row lane A_d[W-1] as a static slice (W = query size).
+Clipped reads (qlen != W) ride the SAME emission: shift_queries_for_clip
+shifts their query up to end at lane W-1 and a per-read free-start mask
+opens the DP at lane W-qlen (single-device path; the mesh/ring carry
+variant has no mask plumbing yet, so those paths host-recompute clipped
+reads exactly). ds[:, W-1 : W-1+R] is the column-indexed last row.
 
 Per step: ~12 VPU ops on (B, Q) f32, no serial scan chains, x8 loop
 unroll (the per-iteration dispatch overhead would otherwise dominate).
@@ -46,12 +48,6 @@ BIG = 3.0e38  # plain python floats: jnp scalars would be captured consts
 PAD = 1.0e18
 
 
-def _shift_down(x: jnp.ndarray, fill: jnp.ndarray, lane_idx: jnp.ndarray) -> jnp.ndarray:
-    """lane i <- x[i-1]; lane 0 <- fill. x: (B, Q)."""
-    rolled = pltpu.roll(x, shift=1, axis=1)
-    return jnp.where(lane_idx == 0, fill, rolled)
-
-
 def _wavefront_tile(
     queries_ref, ypad_ref, rspad_ref, state, *, td: int, lane: int, unroll: int,
     fs_mask=None,
@@ -68,9 +64,8 @@ def _wavefront_tile(
     the one modified select is the whole cost."""
     B, Q = queries_ref.shape
     q = queries_ref[:]
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
     if fs_mask is None:
-        fs_mask = lane_b == 0
+        fs_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) == 0
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
 
@@ -249,7 +244,8 @@ def sdtw_wavefront(
             pltpu.VMEM((1, Q), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=12 * B * Q * D, bytes_accessed=4 * (2 * B * Q + 2 * D + B * D), transcendentals=0
+            # 3 (B, Q) input planes (queries + start_mask) + scratch
+            flops=12 * B * Q * D, bytes_accessed=4 * (3 * B * Q + 2 * D + B * D), transcendentals=0
         ),
         interpret=interpret,
     )(queries, ypad, rspad, start_mask)
@@ -269,6 +265,11 @@ def shift_queries_for_clip(
     qb2 = qb.copy()
     lanes = np.zeros(qb.shape[0], dtype=np.int32)
     W = lane + 1
+    # qlen > lane+1 cannot be served by this emission (its last DP row
+    # lies beyond the emitted lane); silently leaving it unshifted would
+    # emit a mid-query row -- reject loudly instead
+    assert int(np.max(qlens, initial=0)) <= W, \
+        f"qlen {int(np.max(qlens))} > emitted lane width {W}"
     for r in range(qb.shape[0]):
         ql = int(qlens[r])
         if 0 < ql < W:
@@ -329,7 +330,8 @@ def sdtw_wavefront_carry(
             full, full, row, row,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=12 * B * Q * D, bytes_accessed=4 * (4 * B * Q + 2 * D + B * D), transcendentals=0
+            # 3 (B, Q) inputs + 2 (B, Q) state outputs
+            flops=12 * B * Q * D, bytes_accessed=4 * (5 * B * Q + 2 * D + B * D), transcendentals=0
         ),
         interpret=interpret,
     )(queries, ypad, rspad, a1, a2, ywin, rswin)
@@ -348,6 +350,8 @@ def prepare_wavefront_inputs(
     ypad[0, :R] = ref
     rspad = np.zeros((1, D), dtype=np.float32)
     rspad[0, :R] = reset.astype(np.float32)
-    if R < D:
-        rspad[0, R] = 1.0  # isolate the tail padding
+    # D >= R+Q and Q >= 1 for every caller, so the PAD tail always
+    # exists; isolate it unconditionally
+    assert R < D, "need Q >= 1 so the kernel has a PAD tail to flush into"
+    rspad[0, R] = 1.0
     return ypad, rspad, D
