@@ -22,10 +22,25 @@ print('axon up:', d)
 " >> "$LOG" 2>&1
 }
 
+relay_up() {
+    # the axon client dials the local relay on :8082 (raw bincode);
+    # a refused connect = relay process down, no point paying a long
+    # jax probe. When the port accepts, run the real probe.
+    timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' 2>/dev/null
+}
+
 n=0
 while true; do
     n=$((n + 1))
-    printf '[tpu_watch] probe %d at %s\n' "$n" "$(date +%H:%M:%S)" >> "$LOG"
+    if ! relay_up; then
+        if [ $((n % 30)) -eq 1 ]; then
+            printf '[tpu_watch] relay :8082 refused (check %d) at %s\n' \
+                "$n" "$(date +%H:%M:%S)" >> "$LOG"
+        fi
+        sleep 60
+        continue
+    fi
+    printf '[tpu_watch] relay UP; jax probe at %s\n' "$(date +%H:%M:%S)" >> "$LOG"
     if probe; then
         printf '[tpu_watch] service is UP; firing tpu_session.sh\n' >> "$LOG"
         bash scripts/tpu_session.sh /tmp/tpu_session.log >> "$LOG" 2>&1
