@@ -67,8 +67,20 @@ def _device_preflight(timeout_s: int = 900) -> bool:
     down (observed: jax.devices() hangs >500 s), which would hang the
     whole bench; the legitimate first-touch stall has measured up to
     ~434 s, hence the generous budget. Returns False if no device
-    responds in time."""
+    responds in time.
+
+    Fast path: the device client dials a local relay on :8082 -- a
+    refused TCP connect means the relay process itself is down, so fail
+    in seconds instead of paying the full probe timeout."""
+    import socket
     import subprocess
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                pass
+        except OSError:
+            return False
 
     code = (
         "import jax, numpy as np, jax.numpy as jnp;"
