@@ -578,7 +578,9 @@ class Slow5File:
                 tok = cols[8 + k] if 8 + k < len(cols) else "."
                 base, is_arr, labels = _aux_base(tstr)
                 dtype, _, _ = _AUX_PRIM.get(base, ("<u1", 1, 255))
-                if tok == ".":
+                if tok == "." or (is_arr and tok == ""):
+                    # "." = missing; tolerate a bare empty array column
+                    # from third-party writers too
                     aux[name] = None
                 elif is_arr and base == "char":
                     aux[name] = tok
@@ -757,7 +759,14 @@ class Slow5Writer:
         for name, tstr in self.aux_meta:
             v = rec.aux.get(name) if rec.aux else None
             base, is_arr, _ = _aux_base(tstr)
-            if v is None:
+            if (
+                v is None
+                or (is_arr and len(v) == 0)
+                or (base == "char" and not is_arr and str(v) == "")
+            ):
+                # zero-length arrays/strings (and '' chars) are the same
+                # as missing in the binary layout; write "." so the
+                # column parses (an empty token would not)
                 cols.append(".")
             elif is_arr and base == "char":
                 cols.append(str(v))

@@ -91,6 +91,49 @@ def _expect(tstr: str, v):
     return v
 
 
+def test_aux_roundtrip_fuzz_ascii(tmp_path):
+    """Same property through the ASCII .slow5 format: '.' means missing,
+    and zero-length arrays/strings ('' chars too) write as '.' so every
+    column stays parseable."""
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        meta = _random_schema(rng)
+        p = str(tmp_path / f"a{trial}.slow5")
+        recs = []
+        with Slow5Writer(p, header_data=[{}], aux_meta=meta) as w:
+            for i in range(3):
+                aux = {name: _random_value(rng, t) for name, t in meta}
+                r = Slow5Record(
+                    read_id=f"r{i}", read_group=0, digitisation=8192.0,
+                    offset=0.0, range=1400.0, sampling_rate=4000.0,
+                    raw_signal=rng.integers(-50, 50, 8).astype(np.int16),
+                    aux=aux,
+                )
+                recs.append(aux)
+                w.write_record(r)
+        with Slow5File(p) as sf:
+            got = [
+                sf.decode_record(b, with_aux=True)
+                for b in iter(sf.read_next_blob, None)
+            ]
+        for aux, rec in zip(recs, got):
+            for name, t in meta:
+                exp = _expect(t, aux[name])
+                v = rec.aux[name]
+                if t == "char" and exp == "":
+                    exp = None  # '' char == missing, like binary
+                if exp is None:
+                    assert v is None, (t, name, v)
+                elif isinstance(exp, np.ndarray):
+                    np.testing.assert_array_equal(v, exp)
+                elif t == "float":
+                    assert np.float32(v) == np.float32(exp)
+                elif t == "double":
+                    assert float(v) == float(exp)
+                else:
+                    assert v == exp, (t, name, v, exp)
+
+
 @pytest.mark.parametrize("rec_press", ["none", "zlib", "zstd"])
 @pytest.mark.parametrize("sig_press", ["none", "svb-zd"])
 def test_aux_roundtrip_fuzz(tmp_path, rec_press, sig_press):
