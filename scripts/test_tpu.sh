@@ -1,9 +1,57 @@
 #!/usr/bin/env bash
-# On-hardware checks that the CPU-pinned pytest suite cannot run:
-# Pallas wavefront kernel vs the scan engine + exact scalar oracle, and
-# the TPU e2e accuracy gates. Run on a machine with a real TPU.
-set -e
-python - <<'EOF'
+# On-hardware checks that the CPU-pinned pytest suite cannot run: the
+# TPU e2e accuracy gates + TPU-vs-CPU byte identity first (the headline
+# result), then the Pallas kernel micro-legs (wavefront vs scan + exact
+# scalar oracle, clip shift, carry chaining). Stages accumulate into
+# FAIL instead of aborting, so one broken leg cannot eat the rest of an
+# unattended hardware-recovery session.
+set -u
+FAIL=0
+leg() {  # leg NAME CMD...
+  local name="$1"; shift
+  if "$@"; then echo "PASS leg: $name"; else echo "FAIL leg: $name"; FAIL=1; fi
+}
+
+# ---------------------------------------------- e2e gates, TPU engine
+gate() {  # gate NAME TRUTH PAF MIN_CORRECT_PCT
+  local c
+  c=$(python -m sigfish_tpu.cli eval "$2" "$3" 2>/dev/null \
+      | awk -F'[(%]' '/^correct/{print $2}')
+  awk -v c="$c" -v m="$4" 'BEGIN{exit !(c>=m)}' \
+      || { echo "FAIL $1: correct $c% < $4%"; return 1; }
+  echo "PASS $1: correct $c% >= $4%"
+}
+e2e() {
+  python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+      /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/tpu_dna.paf \
+      || return 1
+  gate dna /root/reference/test/sp1_dna.minimap2.paf /tmp/tpu_dna.paf 85 \
+      || return 1
+  python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+      /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 \
+      2>/dev/null > /tmp/tpu_rna.paf || return 1
+  gate rna /root/reference/test/sequin_rna.minimap2.paf /tmp/tpu_rna.paf 75
+}
+leg "e2e accuracy gates (TPU engine)" e2e
+
+# the wavefront kernel is bitwise-exact, so the TPU-engine PAF must be
+# byte-identical to the CPU/native engine's
+byte_identity() {
+  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+      /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/cpu_dna.paf \
+      || return 1
+  cmp /tmp/tpu_dna.paf /tmp/cpu_dna.paf || return 1
+  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+      /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 \
+      2>/dev/null > /tmp/cpu_rna.paf || return 1
+  cmp /tmp/tpu_rna.paf /tmp/cpu_rna.paf
+}
+leg "TPU PAF byte-identical to CPU engine (DNA + RNA)" byte_identity
+
+# ------------------------------------------------ kernel micro-legs
+leg "wavefront vs scan + exact scalar oracle" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 assert jax.default_backend() == "tpu", "needs a TPU"
 from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
@@ -41,7 +89,7 @@ EOF
 
 # clipped reads via shift_queries_for_clip: every qlen must be BITWISE
 # identical to the scalar oracle on hardware (the clip device pass)
-python - <<'EOF'
+leg "clip-shift device pass bit-exact" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks
 from sigfish_tpu.ops.sdtw_pallas import (
@@ -73,7 +121,7 @@ EOF
 
 # carry-kernel variant (ring-mode building block): chained segments must
 # be bit-identical to one pass (Mosaic compile + exactness on hardware)
-python - <<'EOF'
+leg "carry kernel chained == one pass" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 from sigfish_tpu.ops.sdtw_pallas import (
     BIG, PAD, prepare_wavefront_inputs, sdtw_wavefront, sdtw_wavefront_carry)
@@ -97,33 +145,6 @@ assert np.array_equal(np.concatenate(outs, axis=1), full)
 print("carry kernel: chained segments bit-exact  OK")
 EOF
 
-# e2e gates on the TPU engine -- asserted, not just printed
-gate() {  # gate NAME TRUTH PAF MIN_CORRECT_PCT
-  local c
-  c=$(python -m sigfish_tpu.cli eval "$2" "$3" 2>/dev/null \
-      | awk -F'[(%]' '/^correct/{print $2}')
-  awk -v c="$c" -v m="$4" 'BEGIN{exit !(c>=m)}' \
-      || { echo "FAIL $1: correct $c% < $4%"; exit 1; }
-  echo "PASS $1: correct $c% >= $4%"
-}
-python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
-    /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/tpu_dna.paf
-gate dna /root/reference/test/sp1_dna.minimap2.paf /tmp/tpu_dna.paf 85
-python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
-    /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 2>/dev/null > /tmp/tpu_rna.paf
-gate rna /root/reference/test/sequin_rna.minimap2.paf /tmp/tpu_rna.paf 75
-
-# the wavefront kernel is bitwise-exact, so the TPU-engine PAF must be
-# byte-identical to the CPU/native engine's
-JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
-    python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
-    /root/reference/test/sp1_dna.blow5 2>/dev/null > /tmp/cpu_dna.paf
-cmp /tmp/tpu_dna.paf /tmp/cpu_dna.paf \
-    || { echo "FAIL: TPU PAF != CPU PAF"; exit 1; }
-JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
-    python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
-    /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 2>/dev/null > /tmp/cpu_rna.paf
-cmp /tmp/tpu_rna.paf /tmp/cpu_rna.paf \
-    || { echo "FAIL: TPU RNA PAF != CPU RNA PAF"; exit 1; }
-echo "PASS: TPU engine PAF byte-identical to CPU engine (DNA + RNA)"
-echo "TPU checks done"
+echo
+if [ "$FAIL" = 0 ]; then echo "TPU CHECKS: ALL PASS"; else echo "TPU CHECKS: FAILURES"; fi
+exit $FAIL
