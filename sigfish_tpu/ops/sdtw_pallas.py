@@ -152,6 +152,7 @@ def _wavefront_carry_kernel(
     queries_ref,  # (B, Q) VMEM
     ypad_ref,     # (1, TD) SMEM block
     rspad_ref,    # (1, TD) SMEM block
+    fsmask_ref,   # (B, Q) VMEM: 1.0 at each read's free-start lane
     a1_in,        # (B, Q) incoming DP state (diagonal d-1)
     a2_in,        # (B, Q) incoming DP state (diagonal d-2)
     ywin_in,      # (1, Q) incoming reference-value window
@@ -183,7 +184,8 @@ def _wavefront_carry_kernel(
 
     state = (a1_out[:], a2_out[:], ywin_out[:], rswin_out[:])
     state, acc = _wavefront_tile(
-        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane, unroll=unroll
+        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane,
+        unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
     )
     a1_out[:], a2_out[:], ywin_out[:], rswin_out[:] = state
     out_ref[:] = acc
@@ -293,6 +295,7 @@ def sdtw_wavefront_carry(
     td: int = 128,
     unroll: int = 8,
     interpret: bool = False,
+    start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
 ):
     """sdtw_wavefront over ONE reference segment with explicit cross-
     segment DP state: seeds from (a1, a2, ywin, rswin) and returns the
@@ -303,10 +306,20 @@ def sdtw_wavefront_carry(
     exactly the kernel's cross-tile scratch. This is the building block
     of the ring-pipelined reference sharding (parallel/shard.py): the
     O(B x Q) state hops chips via ppermute between segments.
+
+    start_lanes serves clipped reads exactly like sdtw_wavefront's
+    (shift_queries_for_clip builds the shifted queries + lanes); it must
+    be the SAME value on every segment of a chain.
     """
     B, Q = queries.shape
     D = ypad.shape[1]
     assert D % td == 0 and td % unroll == 0
+    if start_lanes is None:
+        start_lanes = jnp.zeros((B,), jnp.int32)
+    start_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+        == start_lanes.astype(jnp.int32)[:, None]
+    ).astype(jnp.float32)
     full = pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -323,18 +336,18 @@ def sdtw_wavefront_carry(
             full,
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, td), lambda g: (0, g), memory_space=pltpu.SMEM),
-            full, full, row, row,
+            full, full, full, row, row,
         ],
         out_specs=[
             pl.BlockSpec((B, td), lambda g: (0, g), memory_space=pltpu.VMEM),
             full, full, row, row,
         ],
         cost_estimate=pl.CostEstimate(
-            # 3 (B, Q) inputs + 2 (B, Q) state outputs
-            flops=12 * B * Q * D, bytes_accessed=4 * (5 * B * Q + 2 * D + B * D), transcendentals=0
+            # 4 (B, Q) inputs + 2 (B, Q) state outputs
+            flops=12 * B * Q * D, bytes_accessed=4 * (6 * B * Q + 2 * D + B * D), transcendentals=0
         ),
         interpret=interpret,
-    )(queries, ypad, rspad, a1, a2, ywin, rswin)
+    )(queries, ypad, rspad, start_mask, a1, a2, ywin, rswin)
 
 
 def prepare_wavefront_inputs(

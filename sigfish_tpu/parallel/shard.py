@@ -138,7 +138,9 @@ def sharded_sdtw(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs", "lane")
+    jax.jit,
+    static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs", "lane",
+                     "clip_shift"),
 )
 def sharded_engine(
     queries: jnp.ndarray,   # (B, Q) f32, B divisible by dp
@@ -154,17 +156,25 @@ def sharded_engine(
     ckpt: int = 512,
     td: int = 128,
     use_pallas: bool = False,
+    clip_shift: bool = False,
 ):
     """Production multi-chip engine: per-shard sDTW (Pallas wavefront on
     TPU shards, lax.scan otherwise) + all_gather of the column-indexed
-    last rows over 'tp'. The wavefront emits the uniform `lane` (qlen-1
-    of full-length reads); clipped reads are recomputed on the host.
+    last rows over 'tp'. With clip_shift=True the caller passed queries
+    through shift_queries_for_clip, and the free-start lane lane+1-qlen
+    is re-derived from qlens on device so clipped reads ride the
+    wavefront's uniform emission exactly (the scan branch reads the
+    UNSHIFTED layout via row_onehot and must not get shifted queries).
     Returns (B, n_tp*Rs) sharded over 'dp'."""
     from ..ops.sdtw_pallas import sdtw_wavefront
 
     def local(q, oh, ql, r, rs, yp, rp):
         if use_pallas:
-            ds = sdtw_wavefront(q, yp, rp, lane=lane, td=td)
+            sl = None
+            if clip_shift:
+                W = lane + 1
+                sl = jnp.where((ql > 0) & (ql < W), W - ql, 0).astype(jnp.int32)
+            ds = sdtw_wavefront(q, yp, rp, lane=lane, td=td, start_lanes=sl)
             lr = jax.lax.slice_in_dim(ds, lane, lane + Rs, axis=1)
         else:
             lr = sdtw_scan(q, oh, r[0], rs[0], ckpt=ckpt)
@@ -281,6 +291,7 @@ def ring_fullref_lastrow_wavefront(
     td: int = 128,
     unroll: int = 8,
     interpret: bool = False,
+    start_lanes: jnp.ndarray | None = None,  # (B,) i32, replicated
 ) -> jnp.ndarray:
     """ring_fullref_lastrow with the production wavefront kernel.
 
@@ -306,8 +317,10 @@ def ring_fullref_lastrow_wavefront(
     B, Q = queries.shape
     n_tp, Rs = seg_ypad.shape
     Bm = B // n_micro
+    if start_lanes is None:
+        start_lanes = jnp.zeros((B,), jnp.int32)
 
-    def local(q, yp, rp):
+    def local(q, fs, yp, rp):
         s = jax.lax.axis_index("tp")
         yseg = yp.reshape(1, Rs)
         rseg = rp.reshape(1, Rs)
@@ -322,6 +335,7 @@ def ring_fullref_lastrow_wavefront(
             active = jnp.logical_and(m >= 0, m < n_micro)
             m_c = jnp.clip(m, 0, n_micro - 1)
             qm = jax.lax.dynamic_slice_in_dim(q, m_c * Bm, Bm, axis=0)
+            fsm = jax.lax.dynamic_slice_in_dim(fs, m_c * Bm, Bm, axis=0)
             # segment 0 starts fresh; others seed from the neighbor
             a1 = jnp.where(s == 0, fresh_a, in_a1)
             a2 = jnp.where(s == 0, fresh_a, in_a2)
@@ -330,6 +344,7 @@ def ring_fullref_lastrow_wavefront(
             o, a1n, a2n, ywn, rwn = sdtw_wavefront_carry(
                 qm, yseg, rseg, a1, a2, yw, rw,
                 lane=lane, td=td, unroll=unroll, interpret=interpret,
+                start_lanes=fsm,
             )
             out = jnp.where(
                 active,
@@ -359,10 +374,10 @@ def ring_fullref_lastrow_wavefront(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P("tp", None), P("tp", None)),
+        in_specs=(P(), P(), P("tp", None), P("tp", None)),
         out_specs=P(),
         check_vma=False,
-    )(queries, seg_ypad, seg_rspad)
+    )(queries, start_lanes, seg_ypad, seg_rspad)
 
 
 def sharded_sdtw_step(

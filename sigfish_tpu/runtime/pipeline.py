@@ -435,6 +435,32 @@ class Core:
             tp[rows] = cp[: rows.size]
         return ts, tp
 
+    def _mesh_clip_pass(
+        self, handle: dict, lr, qlens: np.ndarray, qlens_dev, R: int, W: int
+    ) -> None:
+        """Second device pass for clipped reads on the mesh/ring paths:
+        `lr` already holds their correct column-indexed qlen-1 rows
+        (scan: onehot-selected; wavefront: shift_queries_for_clip), so
+        this only re-derives the qlen-wide candidate windows -- the same
+        recipe as the single-device clip pass, minus the diag slice."""
+        clip_rows = np.where((qlens > 0) & (qlens != W))[0]
+        if not clip_rows.size:
+            return
+        bc = 1
+        while bc < clip_rows.size:
+            bc *= 2  # power-of-2 row buckets bound recompiles
+        rows_pad = np.zeros(bc, dtype=np.int32)
+        rows_pad[: clip_rows.size] = clip_rows
+        rows_dev = jnp.asarray(rows_pad)
+        sub = jnp.take(lr, rows_dev, axis=0)
+        cpacked = device_topk_candidates(
+            sub, jnp.take(qlens_dev, rows_dev), self.u_dev, self.valid_dev,
+            R, W=W, k=5, reindex=False, pack=True,
+        )
+        _start_host_copy(cpacked)
+        handle["clip_rows"] = clip_rows
+        handle["clip_packed"] = cpacked
+
     # max device batch rows per kernel launch: B=512 x Q<=512 fits the
     # 16 MB scoped-VMEM budget of the wavefront kernel; larger -K loads
     # are split into sub-launches
@@ -458,14 +484,19 @@ class Core:
             )
 
             B = qb.shape[0]
+            W = self.opt.query_size
             n_micro = min(B, 32)
             while B % n_micro:
                 n_micro -= 1  # must divide the batch exactly
             if self.use_pallas:
+                # clipped reads ride the carry kernel's uniform lane via
+                # the same query shift as the single-device path
+                qb_k, fs_lanes = shift_queries_for_clip(qb, qlens, W - 1)
                 lr = ring_fullref_lastrow_wavefront(
-                    jnp.asarray(qb), self.ring_ref_dev, self.ring_rspad_dev,
+                    jnp.asarray(qb_k), self.ring_ref_dev, self.ring_rspad_dev,
                     self.mesh, n_micro=n_micro,
-                    lane=self.opt.query_size - 1, td=128,
+                    lane=W - 1, td=128,
+                    start_lanes=jnp.asarray(fs_lanes),
                 )
             else:
                 lr = ring_fullref_lastrow(
@@ -477,10 +508,15 @@ class Core:
             R_ring = self.ref_cat.shape[0]
             packed = device_window_top5(
                 lr, qlens_dev2, self.valid_dev, R_ring,
-                W=self.opt.query_size, k=5, reindex=False, pack=True,
+                W=W, k=5, reindex=False, pack=True,
             )
             _start_host_copy(packed)
-            return dict(packed=packed, qlens=qlens, B=B)
+            handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
+            # clipped reads: both ring engines produce column-indexed
+            # qlen-1 rows (scan via onehot, wavefront via the shift), so
+            # the second pass only re-derives their qlen-wide windows
+            self._mesh_clip_pass(handle, lr, qlens, qlens_dev2, R_ring, W)
+            return handle
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK
@@ -499,6 +535,11 @@ class Core:
 
             n_dp = self.mesh.shape["dp"]
             B = qb.shape[0]
+            if self.use_pallas:
+                # wavefront branch: shift clipped queries to the uniform
+                # emitted lane (the scan branch reads the unshifted
+                # layout via onehot and never sees qb when use_pallas)
+                qb, _ = shift_queries_for_clip(qb, qlens, W - 1)
             padb = (-B) % n_dp
             if padb:
                 qb = np.pad(qb, ((0, padb), (0, 0)))
@@ -513,6 +554,7 @@ class Core:
                 self.shard_ypad_dev, self.shard_rspad_dev,
                 self.mesh, Rs=self.shard_Rs, lane=W - 1,
                 ckpt=self.opt.ckpt, td=128, use_pallas=self.use_pallas,
+                clip_shift=self.use_pallas,
             )
             qlp_dev = jnp.asarray(qlens_pad)
             packed = device_window_top5(
@@ -520,7 +562,12 @@ class Core:
                 pack=True,
             )
             _start_host_copy(packed)
-            return dict(packed=packed, qlens=qlens, B=B)
+            handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
+            # both engines emit column-indexed per-read qlen-1 rows here
+            # (scan: onehot; wavefront: the clip shift) -- re-derive
+            # clipped reads' qlen-wide windows in a second pass
+            self._mesh_clip_pass(handle, lr, qlens, qlp_dev, R, W)
+            return handle
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if self.use_pallas:
             Q = qb.shape[1]
@@ -1152,11 +1199,10 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
 
     if not opt.dtw_std:
         top_s, top_p = core.sdtw_candidates_collect(pending.handle)
-        # clipped reads (qlen != W): the single-device and native engines
-        # handle them exactly (device segmented-window pass / per-read
-        # native DP, flagged clipped_done); the mesh/ring paths emit the
-        # uniform qlen-1 lane only, so recompute those reads' full last
-        # rows with the exact-scalar host DP
+        # clipped reads (qlen != W): every engine now flags clipped_done
+        # (single-device + mesh/ring device clip passes, per-read native
+        # DP); this exact-scalar host recompute remains as the fallback
+        # contract for any future path that cannot serve them on device
         if not _handle_clipped_done(pending.handle):
             W = opt.query_size
             for slot, i in enumerate(live):

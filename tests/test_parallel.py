@@ -231,3 +231,55 @@ def test_shard_striping_reproduces_full_run(tmp_path):
         ]
         assert parts == expect
         assert sorted(ln for p in parts for ln in p) == sorted(full)
+
+
+def test_ring_wavefront_carry_clip_shift_interpret():
+    """Clipped reads through the carry kernel's new start_lanes: chained
+    segments must equal one full wavefront pass AND the scalar oracle at
+    every qlen (interpret mode; the hardware leg re-runs this compiled)."""
+    import jax.numpy as jnp
+
+    from sigfish_tpu.ops.sdtw import make_query_batch, pad_tracks
+    from sigfish_tpu.ops.sdtw_pallas import (
+        BIG, PAD, prepare_wavefront_inputs, sdtw_wavefront,
+        sdtw_wavefront_carry, shift_queries_for_clip)
+    from sigfish_tpu.ops.sdtw_ref import subsequence_cost
+
+    rng = np.random.default_rng(11)
+    W, Q, td, lane = 250, 256, 128, 249
+    tracks = [rng.standard_normal(s).astype(np.float32) for s in (700, 320)]
+    ref, reset, offs = pad_tracks(tracks, ckpt=128, align=W)
+    R = ref.shape[0]
+    qlist = [rng.standard_normal(n).astype(np.float32)
+             for n in (W, 19, 133, W - 1)]
+    qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
+    qb_k, fs = shift_queries_for_clip(qb, qlens, lane)
+    ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
+    sl = jnp.asarray(fs)
+
+    full = np.asarray(sdtw_wavefront(
+        jnp.asarray(qb_k), jnp.asarray(ypad), jnp.asarray(rspad),
+        lane=lane, td=td, start_lanes=sl, interpret=True))
+
+    B = qb.shape[0]
+    a1 = jnp.full((B, Q), BIG, jnp.float32)
+    a2 = jnp.full((B, Q), BIG, jnp.float32)
+    yw = jnp.full((1, Q), PAD, jnp.float32)
+    rw = jnp.zeros((1, Q), jnp.float32)
+    outs = []
+    half = (D // td // 2) * td
+    for a, b in ((0, half), (half, D)):
+        o, a1, a2, yw, rw = sdtw_wavefront_carry(
+            jnp.asarray(qb_k), jnp.asarray(ypad[:, a:b]),
+            jnp.asarray(rspad[:, a:b]), a1, a2, yw, rw,
+            lane=lane, td=td, start_lanes=sl, interpret=True)
+        outs.append(np.asarray(o))
+    chained = np.concatenate(outs, axis=1)
+    np.testing.assert_array_equal(chained, full)
+
+    lr = chained[:, lane:lane + R]
+    for b2, q in enumerate(qlist):
+        for t, tr in enumerate(tracks):
+            lo = int(offs[t])
+            ex = subsequence_cost(q, tr)[-1]
+            np.testing.assert_array_equal(lr[b2, lo:lo + tr.size], ex)
