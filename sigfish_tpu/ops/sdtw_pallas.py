@@ -19,9 +19,9 @@ and track-reset masks ride along the same way. Each step emits the
 uniform last-row lane A_d[W-1] as a static slice (W = query size).
 Clipped reads (qlen != W) ride the SAME emission: shift_queries_for_clip
 shifts their query up to end at lane W-1 and a per-read free-start mask
-opens the DP at lane W-qlen (single-device path; the mesh/ring carry
-variant has no mask plumbing yet, so those paths host-recompute clipped
-reads exactly). ds[:, W-1 : W-1+R] is the column-indexed last row.
+opens the DP at lane W-qlen -- both the single-device kernel and the
+mesh/ring carry variant take the mask, so every path serves clips on
+device. ds[:, W-1 : W-1+R] is the column-indexed last row.
 
 Per step: ~12 VPU ops on (B, Q) f32, no serial scan chains, x8 loop
 unroll (the per-iteration dispatch overhead would otherwise dominate).
