@@ -120,18 +120,28 @@ print("clip-shift pass: bitwise identical at every qlen  OK")
 EOF
 
 # carry-kernel variant (ring-mode building block): chained segments must
-# be bit-identical to one pass (Mosaic compile + exactness on hardware)
-leg "carry kernel chained == one pass" python - <<'EOF'
+# be bit-identical to one pass (Mosaic compile + exactness on hardware),
+# including clipped reads through the per-read free-start mask
+leg "carry kernel chained == one pass (incl. clip mask)" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
+from sigfish_tpu.ops.sdtw import make_query_batch
 from sigfish_tpu.ops.sdtw_pallas import (
-    BIG, PAD, prepare_wavefront_inputs, sdtw_wavefront, sdtw_wavefront_carry)
+    BIG, PAD, prepare_wavefront_inputs, sdtw_wavefront,
+    sdtw_wavefront_carry, shift_queries_for_clip)
+from sigfish_tpu.ops.sdtw_ref import subsequence_cost
 rng = np.random.default_rng(1)
 B, Q, td, lane = 64, 256, 128, 249
+W = lane + 1
 ref = rng.standard_normal(4000).astype(np.float32)
 reset = np.zeros(4000, bool); reset[0] = True; reset[2100] = True
 ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
-q = rng.standard_normal((B, Q)).astype(np.float32)
-full = np.asarray(sdtw_wavefront(q, jnp.asarray(ypad), jnp.asarray(rspad), lane=lane, td=td))
+qlist = [rng.standard_normal(W if i % 4 else 57).astype(np.float32)
+         for i in range(B)]
+qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
+q, fs = shift_queries_for_clip(qb, qlens, lane)
+q = q.astype(np.float32); sl = jnp.asarray(fs)
+full = np.asarray(sdtw_wavefront(q, jnp.asarray(ypad), jnp.asarray(rspad),
+                                 lane=lane, td=td, start_lanes=sl))
 a1 = jnp.full((B, Q), BIG, jnp.float32); a2 = jnp.full((B, Q), BIG, jnp.float32)
 yw = jnp.full((1, Q), PAD, jnp.float32); rw = jnp.zeros((1, Q), jnp.float32)
 outs = []
@@ -139,10 +149,14 @@ half = (D // td // 2) * td
 for a, b in ((0, half), (half, D)):
     o, a1, a2, yw, rw = sdtw_wavefront_carry(
         q, jnp.asarray(ypad[:, a:b]), jnp.asarray(rspad[:, a:b]),
-        a1, a2, yw, rw, lane=lane, td=td)
+        a1, a2, yw, rw, lane=lane, td=td, start_lanes=sl)
     outs.append(np.asarray(o))
-assert np.array_equal(np.concatenate(outs, axis=1), full)
-print("carry kernel: chained segments bit-exact  OK")
+chained = np.concatenate(outs, axis=1)
+assert np.array_equal(chained, full)
+# clipped read vs scalar oracle on the first track
+ex = subsequence_cost(qlist[0], ref[:2100])[-1]
+assert np.array_equal(chained[0, lane:lane+2100], ex)
+print("carry kernel: chained segments bit-exact incl. clipped reads  OK")
 EOF
 
 echo
