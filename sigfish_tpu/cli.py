@@ -350,6 +350,18 @@ def main(argv: list[str] | None = None) -> int:
 
         log_error(str(e))
         return 1
+    except RuntimeError as e:
+        # e.g. a distributed-gather timeout (dead peer). RETURNING the
+        # failure (instead of letting it propagate) matters: __main__
+        # then hard-exits, skipping the jax atexit shutdown barrier that
+        # would otherwise block on the very peer that died
+        import traceback as _tb
+
+        _tb.print_exc()
+        from .utils import log_error
+
+        log_error(str(e))
+        return 1
     sys.stderr.write(f"[main] Unknown command {cmd}\n")
     return 1
 

@@ -119,14 +119,39 @@ _GATHER_PREFIX = "sigfish_tpu/gather"
 _gather_round = [0]
 
 
+def _gather_timeout_ms(default: int = 600_000) -> int:
+    """SIGFISH_GATHER_TIMEOUT_MS overrides how long a host waits for a
+    peer's contribution before declaring it dead (failure detection:
+    without a bound, one crashed peer stalls the whole cluster)."""
+    import os
+
+    return int(os.environ.get("SIGFISH_GATHER_TIMEOUT_MS", default))
+
+
+def _blocking_get(client, key: str, timeout_ms: int, what: str) -> str:
+    """blocking_key_value_get with a diagnosis instead of a raw gRPC
+    DEADLINE_EXCEEDED: names the missing peer so a crashed/hung host is
+    identifiable from host 0's error output."""
+    try:
+        return client.blocking_key_value_get(key, timeout_ms)
+    except Exception as e:
+        raise RuntimeError(
+            f"distributed gather timed out after {timeout_ms} ms waiting "
+            f"for {what} (key {key!r}): a peer process has likely "
+            f"crashed or hung; its range was NOT merged"
+        ) from e
+
+
 def gather_ordered(data: bytes, process_id: int, num_processes: int,
-                   timeout_ms: int = 600_000) -> bytes | None:
+                   timeout_ms: int | None = None) -> bytes | None:
     """All hosts contribute bytes; host 0 returns them concatenated in
     host order, others return None.
 
     Uses the coordination-service KV store (no shared FS, no XLA
     collectives), chunked to stay well under gRPC message limits.
     """
+    if timeout_ms is None:
+        timeout_ms = _gather_timeout_ms()
     client = _kv_client()
     rnd = _gather_round[0]
     _gather_round[0] += 1
@@ -144,20 +169,21 @@ def gather_ordered(data: bytes, process_id: int, num_processes: int,
     if process_id != 0:
         # wait until host 0 confirms the merge so the KV entries stay
         # alive long enough
-        client.blocking_key_value_get(
-            f"{_GATHER_PREFIX}/{rnd}/done", timeout_ms
-        )
+        _blocking_get(client, f"{_GATHER_PREFIX}/{rnd}/done",
+                      timeout_ms, "host 0's merge confirmation")
         return None
     parts: list[bytes] = []
     for h in range(num_processes):
         key = f"{_GATHER_PREFIX}/{rnd}/{h}/nchunks"
-        nc = int(client.blocking_key_value_get(key, timeout_ms))
+        nc = int(_blocking_get(client, key, timeout_ms,
+                               f"host {h}'s chunk count"))
         _kv_delete(client, key)
         for c in range(nc):
             key = f"{_GATHER_PREFIX}/{rnd}/{h}/{c}"
             parts.append(
                 base64.b64decode(
-                    client.blocking_key_value_get(key, timeout_ms)
+                    _blocking_get(client, key, timeout_ms,
+                                  f"host {h}'s chunk {c}")
                 )
             )
             # free each chunk as it is consumed: the coordination
@@ -186,7 +212,7 @@ def gather_ordered_stream(
     out_fp,
     process_id: int,
     num_processes: int,
-    timeout_ms: int = 600_000,
+    timeout_ms: int | None = None,
     chunk: int | None = None,
     window: int | None = None,
 ) -> None:
@@ -212,6 +238,8 @@ def gather_ordered_stream(
         chunk = int(os.environ.get("SIGFISH_GATHER_CHUNK", 2 * 1024 * 1024))
     if window is None:
         window = int(os.environ.get("SIGFISH_GATHER_WINDOW", 8))
+    if timeout_ms is None:
+        timeout_ms = _gather_timeout_ms()
     client = _kv_client() if num_processes > 1 else None
     rnd = _gather_round[0]
     _gather_round[0] += 1
@@ -227,14 +255,16 @@ def gather_ordered_stream(
         for c in range(nchunks):
             if c >= window:
                 ack = f"{pre}/ack/{process_id}/{c - window}"
-                client.blocking_key_value_get(ack, timeout_ms)
+                _blocking_get(client, ack, timeout_ms,
+                              "host 0's flow-control ack")
                 _kv_delete(client, ack)
             blob = body_fp.read(chunk)
             client.key_value_set(
                 f"{pre}/{process_id}/{c}",
                 base64.b64encode(blob).decode("ascii"),
             )
-        client.blocking_key_value_get(f"{pre}/done", timeout_ms)
+        _blocking_get(client, f"{pre}/done", timeout_ms,
+                      "host 0's merge confirmation")
         return
 
     while True:
@@ -244,13 +274,15 @@ def gather_ordered_stream(
         out_fp.write(blob.decode())
     for h in range(1, num_processes):
         key = f"{pre}/{h}/nchunks"
-        nc = int(client.blocking_key_value_get(key, timeout_ms))
+        nc = int(_blocking_get(client, key, timeout_ms,
+                               f"host {h}'s chunk count"))
         _kv_delete(client, key)
         for c in range(nc):
             key = f"{pre}/{h}/{c}"
             out_fp.write(
                 base64.b64decode(
-                    client.blocking_key_value_get(key, timeout_ms)
+                    _blocking_get(client, key, timeout_ms,
+                                  f"host {h}'s chunk {c}")
                 ).decode()
             )
             _kv_delete(client, key)

@@ -198,3 +198,45 @@ def test_streaming_gather_multichunk_window(tmp_path):
             else:
                 os.environ[k] = v
     assert open(outs[0]).read() == single
+
+
+def test_gather_timeout_diagnoses_dead_peer(tmp_path):
+    """Failure detection: when a peer joins the cluster but never
+    contributes (crash analogue), host 0's gather must fail within the
+    configured timeout naming the missing peer -- not stall forever."""
+    port = _free_port()
+    env = _env()
+    env["SIGFISH_GATHER_TIMEOUT_MS"] = "10000"
+    common = (
+        "from sigfish_tpu.parallel.distributed import ("
+        "init_distributed, gather_ordered_stream);"
+        f"init_distributed('localhost:{port}', 2, %d);"
+    )
+    # peer: init, then exit without ever publishing its body
+    peer = subprocess.Popen(
+        [sys.executable, "-c", common % 1 + "import os; os._exit(0)"],
+        env=env, stderr=subprocess.PIPE, cwd="/root/repo",
+    )
+    # host 0 hard-exits on the failure like the CLI does: the jax atexit
+    # shutdown barrier would otherwise block on the dead peer
+    h0 = subprocess.Popen(
+        [
+            sys.executable, "-c",
+            common % 0
+            + "import io, os, sys, tempfile, traceback;"
+            "b = tempfile.TemporaryFile();"
+            "out = io.StringIO();"
+            "exc = None\n"
+            "try:\n"
+            "    gather_ordered_stream(b, out, 0, 2)\n"
+            "except RuntimeError as e:\n"
+            "    traceback.print_exc(); sys.stderr.flush(); os._exit(3)\n"
+            "os._exit(0)",
+        ],
+        env=env, stderr=subprocess.PIPE, cwd="/root/repo",
+    )
+    _, err0 = h0.communicate(timeout=300)
+    peer.wait(timeout=60)
+    assert h0.returncode != 0
+    msg = err0.decode()
+    assert "timed out" in msg and "host 1" in msg, msg[-800:]
