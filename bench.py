@@ -135,10 +135,12 @@ def main() -> None:
         process_batch(core, blobs)
         core.close()
 
-        # steady state through the production double-buffered loop;
-        # best of two passes (XLA/compile-cache warmth varies run to run)
+        # steady state through the production double-buffered loop; best
+        # of three passes (XLA/compile-cache warmth varies run to run,
+        # and the remote device link shows multi-second latency spikes --
+        # observed 7 s on a fetch that is 0.17 s steady-state)
         rps = 0.0
-        for _ in range(2):
+        for _ in range(3):
             core = Core(
                 REF_FASTA,
                 tmp,
@@ -168,7 +170,7 @@ def main() -> None:
         process_batch(core, blobs)  # warmup: compile + axon first touch
         core.close()
         rna_rps = 0.0
-        for _ in range(2):
+        for _ in range(3):
             core = Core(RNA_FASTA, tmp, Options(rna=True, query_size=500, prefix_size=-1))
             t0 = time.time()
             sink = io.StringIO()

@@ -1393,6 +1393,13 @@ def run_dtw(core: Core, out_fp) -> None:
     done = False
     consumed = 0
     while not done:
+        if pending is not None and not opt.profile:
+            # start batch N's drain BEFORE batch N+1's load AND host
+            # stages: the device fetch is GIL-releasing link IO
+            # (~0.17 s/batch) that overlaps both the file read and the
+            # prepare CPU even on a 1-core host
+            drain_fut = drainer.submit(drain, pending)
+            pending = None
         t0 = time.time()
         max_recs = opt.batch_size
         if opt.rec_limit is not None:
@@ -1419,11 +1426,6 @@ def run_dtw(core: Core, out_fp) -> None:
             )
             if opt.profile and pending is not None:
                 drain(pending)  # unoverlapped per-stage timers
-                pending = None
-            if pending is not None:
-                # start batch N's drain BEFORE batch N+1's host stages:
-                # its device fetch is GIL-releasing IO that overlaps them
-                drain_fut = drainer.submit(drain, pending)
                 pending = None
             t0 = time.time()
             new_pending = submit_batch(core, blobs)
