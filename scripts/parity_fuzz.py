@@ -301,9 +301,20 @@ def run_trial(seed: int) -> bool:
         return ok
 
 
+def ensure_oracle() -> None:
+    """Bootstrap /tmp/refbuild + model TSVs if missing (e.g. post-reboot)."""
+    if os.access(ORACLE, os.X_OK) and os.path.exists(DNA_TSV):
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "build_oracle.sh")], check=True
+    )
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    ensure_oracle()
     fails = 0
     for t in range(n):
         if not run_trial(base + t):

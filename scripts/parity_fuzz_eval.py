@@ -125,6 +125,11 @@ def run_trial(seed: int) -> bool:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    if not os.access(ORACLE, os.X_OK):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "build_oracle.sh")],
+            check=True,
+        )
     fails = sum(0 if run_trial(base + t) else 1 for t in range(n))
     print(f"== {n - fails}/{n} eval trials byte-identical ==")
     return 1 if fails else 0

@@ -7,6 +7,7 @@ set -u
 export JAX_PLATFORMS=cpu
 export PALLAS_AXON_POOL_IPS=
 ORACLE=${ORACLE:-/tmp/refbuild/sigfish}
+[ -x "$ORACLE" ] || bash "$(dirname "$0")/build_oracle.sh"
 REF=${REF:-/root/reference/test}
 DNA_TSV=${DNA_TSV:-/tmp/sigfish_models/r9.4_dna_6mer.tsv}
 RNA_TSV=${RNA_TSV:-/tmp/sigfish_models/r9.4_rna_5mer.tsv}
