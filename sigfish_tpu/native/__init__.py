@@ -43,6 +43,10 @@ def _build() -> bool:
 
 def _load():
     global _lib
+    if os.environ.get("SIGFISH_TPU_NO_NATIVE"):
+        # force the pure-Python oracle fallbacks (tests the degraded
+        # path a host without a working g++ would take)
+        return None
     if _lib is not None:
         return _lib
     need = (not os.path.exists(_SO)) or (

@@ -238,6 +238,10 @@ def gather_ordered_stream(
         chunk = int(os.environ.get("SIGFISH_GATHER_CHUNK", 2 * 1024 * 1024))
     if window is None:
         window = int(os.environ.get("SIGFISH_GATHER_WINDOW", 8))
+    # chunk=0 divides by zero; window=0 deadlocks every peer on an ack
+    # host 0 can never write (peer waits for chunk -window..-1 acks)
+    chunk = max(1, chunk)
+    window = max(1, window)
     if timeout_ms is None:
         timeout_ms = _gather_timeout_ms()
     client = _kv_client() if num_processes > 1 else None

@@ -279,10 +279,15 @@ class Core:
                 ref_cat, reset = pad_ref, pad_reset
                 self.shard_Rs = Rs
                 self.ring_ref_dev = jnp.asarray(ref_cat.reshape(n_tp, Rs))
-                self.ring_reset_dev = jnp.asarray(reset.reshape(n_tp, Rs))
-                self.ring_rspad_dev = jnp.asarray(
-                    reset.reshape(n_tp, Rs).astype(np.float32)
-                )
+                # each ring engine reads exactly one reset layout: bool
+                # for the scan carry, f32 for the wavefront kernel --
+                # only upload the one the selected engine uses
+                if self.use_pallas:
+                    self.ring_rspad_dev = jnp.asarray(
+                        reset.reshape(n_tp, Rs).astype(np.float32)
+                    )
+                else:
+                    self.ring_reset_dev = jnp.asarray(reset.reshape(n_tp, Rs))
             elif n_dev > 1:
                 from ..parallel import make_mesh, shard_tracks
                 from ..ops.sdtw_pallas import prepare_wavefront_inputs as _pwf
@@ -303,25 +308,36 @@ class Core:
                     for li, gi in enumerate(a):
                         g_starts[gi] = s * Rs + soffs[s, li]
                 offsets = np.concatenate([g_starts, [n_tp * Rs]])
-                # per-shard wavefront inputs at the fixed padded Q
-                yps, rps = [], []
-                D = 0
-                for s in range(n_tp):
-                    yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=128)
-                    yps.append(yp[0])
-                    rps.append(rp[0])
-                    D = max(D, d)
-                ypad = np.full((n_tp, D), 1.0e18, dtype=np.float32)
-                rspad = np.zeros((n_tp, D), dtype=np.float32)
-                for s in range(n_tp):
-                    ypad[s, : yps[s].size] = yps[s]
-                    rspad[s, : rps[s].size] = rps[s]
-                    if rps[s].size < D:
-                        rspad[s, rps[s].size] = 1.0
-                self.shard_ref_dev = jnp.asarray(sref)
-                self.shard_reset_dev = jnp.asarray(sreset)
-                self.shard_ypad_dev = jnp.asarray(ypad)
-                self.shard_rspad_dev = jnp.asarray(rspad)
+                # each engine reads one input pair inside sharded_engine
+                # (wavefront: ypad/rspad; scan: ref/reset) -- build and
+                # upload only the selected engine's pair, with (n_tp, 1)
+                # placeholders for the other so the shard_map signature
+                # is unchanged
+                if self.use_pallas:
+                    # per-shard wavefront inputs at the fixed padded Q
+                    yps, rps = [], []
+                    D = 0
+                    for s in range(n_tp):
+                        yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=128)
+                        yps.append(yp[0])
+                        rps.append(rp[0])
+                        D = max(D, d)
+                    ypad = np.full((n_tp, D), 1.0e18, dtype=np.float32)
+                    rspad = np.zeros((n_tp, D), dtype=np.float32)
+                    for s in range(n_tp):
+                        ypad[s, : yps[s].size] = yps[s]
+                        rspad[s, : rps[s].size] = rps[s]
+                        if rps[s].size < D:
+                            rspad[s, rps[s].size] = 1.0
+                    self.shard_ref_dev = jnp.zeros((n_tp, 1), jnp.float32)
+                    self.shard_reset_dev = jnp.zeros((n_tp, 1), bool)
+                    self.shard_ypad_dev = jnp.asarray(ypad)
+                    self.shard_rspad_dev = jnp.asarray(rspad)
+                else:
+                    self.shard_ref_dev = jnp.asarray(sref)
+                    self.shard_reset_dev = jnp.asarray(sreset)
+                    self.shard_ypad_dev = jnp.zeros((n_tp, 1), jnp.float32)
+                    self.shard_rspad_dev = jnp.zeros((n_tp, 1), jnp.float32)
 
         if self.mesh is None:
             # align every track segment to the query size so the device-
@@ -359,22 +375,6 @@ class Core:
         self._pool: _fut.ThreadPoolExecutor | None = None
         if opt.num_thread > 1:
             self._pool = _fut.ThreadPoolExecutor(max_workers=opt.num_thread)
-
-    def sdtw_run(
-        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray, std: bool
-    ) -> np.ndarray:
-        """Scan-engine last-row scores (B, R) as numpy -- the --dtw-std /
-        debug path (transfers the full last row; the production path is
-        sdtw_candidates)."""
-        lr = sdtw_scan(
-            jnp.asarray(qb),
-            jnp.asarray(onehot),
-            self.ref_cat_dev,
-            self.reset_dev,
-            ckpt=self.opt.ckpt,
-            std=std,
-        )
-        return np.asarray(lr)
 
     def sdtw_std_corners(self, qb: np.ndarray, onehot: np.ndarray) -> np.ndarray:
         """--dtw-std on device engines: per-track corner cells gathered
@@ -435,14 +435,18 @@ class Core:
             tp[rows] = cp[: rows.size]
         return ts, tp
 
-    def _mesh_clip_pass(
-        self, handle: dict, lr, qlens: np.ndarray, qlens_dev, R: int, W: int
+    def _clip_pass(
+        self, handle: dict, lr, qlens: np.ndarray, qlens_dev, R: int, W: int,
+        diag_lane: int | None = None,
     ) -> None:
-        """Second device pass for clipped reads on the mesh/ring paths:
-        `lr` already holds their correct column-indexed qlen-1 rows
-        (scan: onehot-selected; wavefront: shift_queries_for_clip), so
-        this only re-derives the qlen-wide candidate windows -- the same
-        recipe as the single-device clip pass, minus the diag slice."""
+        """Second device pass for clipped reads (every device path):
+        `lr` holds their correct per-read qlen-1 rows (scan:
+        onehot-selected; wavefront: shift_queries_for_clip), so this
+        only re-derives the qlen-wide candidate windows. The
+        single-device wavefront hands in its raw diag-indexed scores
+        with diag_lane=W-1; the column slice is applied AFTER the row
+        take so only the clipped rows are materialized (the mesh/ring
+        engines emit column-indexed (B, R) rows already)."""
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if not clip_rows.size:
             return
@@ -453,6 +457,8 @@ class Core:
         rows_pad[: clip_rows.size] = clip_rows
         rows_dev = jnp.asarray(rows_pad)
         sub = jnp.take(lr, rows_dev, axis=0)
+        if diag_lane is not None:
+            sub = jax.lax.slice_in_dim(sub, diag_lane, diag_lane + R, axis=1)
         cpacked = device_topk_candidates(
             sub, jnp.take(qlens_dev, rows_dev), self.u_dev, self.valid_dev,
             R, W=W, k=5, reindex=False, pack=True,
@@ -566,7 +572,7 @@ class Core:
             # both engines emit column-indexed per-read qlen-1 rows here
             # (scan: onehot; wavefront: the clip shift) -- re-derive
             # clipped reads' qlen-wide windows in a second pass
-            self._mesh_clip_pass(handle, lr, qlens, qlp_dev, R, W)
+            self._clip_pass(handle, lr, qlens, qlp_dev, R, W)
             return handle
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if self.use_pallas:
@@ -616,35 +622,19 @@ class Core:
         # clipped reads (qlen != W): second device pass with per-read
         # dynamic window widths (segmented scan) instead of an O(R*qlen)
         # host DP per read (ref sigfish.c:457-461 short-read semantics).
-        # Rows are padded to power-of-2 buckets to bound recompiles.
         # Scan engine: its (B, R) scores are per-read qlen-1 rows
-        # (onehot-selected), so the clip pass reads them with the
-        # per-read diag reindex. Wavefront engine: the shift_queries_
-        # for_clip prep above lands every clipped read's last row on the
-        # SAME uniform W-1 lane as full-length reads, so the reindex is
-        # the static slice and the clip pass only re-derives the
-        # qlen-wide windows. (An earlier clip pass read the un-shifted
-        # wavefront scores -- a garbage lane for clipped rows; caught by
-        # the pallas-engine fuzz leg, seeds 9004/9005.)
-        if clip_rows.size:
-            bc = 1
-            while bc < clip_rows.size:
-                bc *= 2
-            rows_pad = np.zeros(bc, dtype=np.int32)
-            rows_pad[: clip_rows.size] = clip_rows
-            rows_dev = jnp.asarray(rows_pad)
-            sub = jnp.take(scores, rows_dev, axis=0)
-            if self.use_pallas:
-                sub = jax.lax.slice_in_dim(sub, W - 1, W - 1 + R, axis=1)
-            cpacked = device_topk_candidates(
-                sub,
-                jnp.take(qlens_dev, rows_dev),
-                self.u_dev, self.valid_dev, R, W=W, k=5, reindex=False,
-                pack=True,
-            )
-            _start_host_copy(cpacked)
-            handle["clip_rows"] = clip_rows
-            handle["clip_packed"] = cpacked
+        # (onehot-selected) already. Wavefront engine: the
+        # shift_queries_for_clip prep above lands every clipped read's
+        # last row on the SAME uniform W-1 lane as full-length reads, so
+        # _clip_pass's diag_lane slice extracts the column layout and
+        # only re-derives the qlen-wide windows. (An earlier clip pass
+        # read the un-shifted wavefront scores -- a garbage lane for
+        # clipped rows; caught by the pallas-engine fuzz leg, seeds
+        # 9004/9005.)
+        self._clip_pass(
+            handle, scores, qlens, qlens_dev, R, W,
+            diag_lane=W - 1 if self.use_pallas else None,
+        )
         return handle
 
     def _native_candidates_submit(
@@ -670,9 +660,15 @@ class Core:
             for t, track in enumerate(self.tracks):
                 lo = int(self.track_offsets[t])
                 if track.size:
-                    native.subsequence_lastrow(
+                    row = native.subsequence_lastrow(
                         q, track, out=lr[lo : lo + track.size]
                     )
+                    if row is None:  # native lib unavailable: exact oracle
+                        from ..ops.sdtw_ref import subsequence_cost as _py_sub
+
+                        lr[lo : lo + track.size] = np.asarray(
+                            _py_sub(q, track)
+                        )[-1]
             s5, p5 = self._host_top5(lr, qlen)
             top_s[slot] = s5
             top_p[slot] = p5
@@ -1193,7 +1189,6 @@ def finish_batch(core: Core, pending: PendingBatch) -> tuple[list[str | None], B
         if opt.profile:
             core.dtw_time += _time.time() - pending.dtw_t0
         return [None] * len(works), stats
-    qlens = pending.qlens
     offs = core.track_offsets
     ntracks = len(core.tracks)
 
@@ -1354,24 +1349,28 @@ def run_dtw(core: Core, out_fp) -> None:
     import threading
     import time
 
+    import os as _os
+
     opt = core.opt
     realtime0 = time.time()
     state = {"counter": 0}
     tlock = threading.Lock()
+
+    def progress(n_rec: int, n_bytes: int, verb: str) -> None:
+        # reference-format stderr line: [dtw_main::REALTIME*CPULOAD]
+        rt = time.time() - realtime0
+        cpu = sum(_os.times()[:2]) / rt if rt > 0 else 0.0
+        sys.stderr.write(
+            f"[dtw_main::{rt:.3f}*{cpu:.2f}] {n_rec} Entries "
+            f"({n_bytes/1e6:.1f}M bytes) {verb}\n"
+        )
 
     def drain(pending: PendingBatch) -> None:
         t0 = time.time()
         lines, stats = finish_batch(core, pending)
         with tlock:  # submit_batch on the main thread also accumulates
             core.process_db_time += time.time() - t0
-        import os as _os
-
-        _rt = time.time() - realtime0
-        _cpu = sum(_os.times()[:2]) / _rt if _rt > 0 else 0.0
-        sys.stderr.write(
-            f"[dtw_main::{_rt:.3f}*{_cpu:.2f}] {stats.n_rec} Entries "
-            f"({stats.sum_bytes/1e6:.1f}M bytes) processed\n"
-        )
+        progress(stats.n_rec, stats.sum_bytes, "processed")
         t0 = time.time()
         for line in lines:
             if line is not None:
@@ -1416,14 +1415,7 @@ def run_dtw(core: Core, out_fp) -> None:
         core.load_db_time += time.time() - t0
         new_pending = None
         if blobs:
-            import os as _os
-
-            _rt = time.time() - realtime0
-            _cpu = sum(_os.times()[:2]) / _rt if _rt > 0 else 0.0
-            sys.stderr.write(
-                f"[dtw_main::{_rt:.3f}*{_cpu:.2f}] {len(blobs)} Entries "
-                f"({sum(len(b) for b in blobs)/1e6:.1f}M bytes) loaded\n"
-            )
+            progress(len(blobs), sum(len(b) for b in blobs), "loaded")
             if opt.profile and pending is not None:
                 drain(pending)  # unoverlapped per-stage timers
                 pending = None

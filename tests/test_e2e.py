@@ -241,3 +241,41 @@ def test_library_example_runs():
     assert "wrote + re-read 5 records" in out
     assert out.count("MN908947.3:") == 5
     assert "batch 2: 1 reads, 1 mapped" in out
+
+
+def test_forced_native_engine_without_native_lib(tmp_path, monkeypatch):
+    """`--engine native` on a host where the C++ extension is unavailable
+    (SIGFISH_TPU_NO_NATIVE=1) must fall back to the exact-scalar Python
+    oracle per track -- NOT silently report every read unmapped (the DP
+    helper returns None without touching its out= buffer, which once
+    left the 3.0e38 fill in place)."""
+    import numpy as np
+
+    from sigfish_tpu.io.blow5 import Slow5File, Slow5Record, Slow5Writer
+
+    # small reference: the Python O(n*m) scalar DP is ~100k cells/track
+    rng = np.random.default_rng(7)
+    contig = "".join(rng.choice(list("ACGT"), size=300))
+    fa = tmp_path / "small.fa"
+    fa.write_text(f">tiny\n{contig}\n")
+
+    src = Slow5File(f"{REF}/sp1_dna.blow5")
+    recs = list(src)
+    hdr = src.header_data
+    src.close()
+    p = str(tmp_path / "two.blow5")
+    with Slow5Writer(p, header_data=hdr) as w:
+        for r in recs[:2]:
+            w.write_record(r)
+
+    def run_native():
+        return _run(str(fa), p, engine="native")
+
+    with_lib = run_native()
+    monkeypatch.setenv("SIGFISH_TPU_NO_NATIVE", "1")
+    without_lib = run_native()
+    # both runs emit a PAF line per read (mapping to the tiny contig is
+    # meaningless but deterministic), byte-identical: the fallback is
+    # the same exact scalar order as the C kernel
+    assert with_lib == without_lib
+    assert len([l for l in with_lib.splitlines() if l]) == 2
