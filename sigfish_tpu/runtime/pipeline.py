@@ -521,7 +521,7 @@ class Core:
             # clipped reads: both ring engines produce column-indexed
             # qlen-1 rows (scan via onehot, wavefront via the shift), so
             # the second pass only re-derives their qlen-wide windows
-            self._mesh_clip_pass(handle, lr, qlens, qlens_dev2, R_ring, W)
+            self._clip_pass(handle, lr, qlens, qlens_dev2, R_ring, W)
             return handle
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
