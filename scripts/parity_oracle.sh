@@ -123,6 +123,28 @@ with open("/tmp/parity_tiny.fa", "w") as f:
 PYGEN5
 run_case rna_d2inf "$RNA_TSV" /tmp/parity_tiny.fa "$REF/sequin_rna.blow5" --rna -q 50
 
+# ring mode vs the oracle: a single --full-ref contig on a 1x4 virtual
+# CPU mesh forces the column-split ring pipeline (tracks < n_tp); the
+# wavefront engine (Pallas interpreter off-TPU) is bit-exact, so the
+# ring path is held to ORACLE byte parity, not just sharding invariance
+python - <<'PYGEN6'
+from sigfish_tpu.io.fasta import read_fasta
+recs = list(read_fasta("/root/reference/test/rnasequin_sequences_2.4.fa"))
+name, seq = max(recs, key=lambda r: len(r[1]))
+open("/tmp/parity_ring.fa", "w").write(f">{name}\n{seq}\n")
+PYGEN6
+RING_CASE_ARGS="/tmp/parity_ring.fa $REF/sequin_rna.blow5 --rna -q 250 -p -1 --full-ref --kmer-model $RNA_TSV"
+timeout 900 "$ORACLE" dtw $RING_CASE_ARGS -t 1 > "$OUT/ring.oracle" 2>/dev/null
+XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=4" \
+  timeout 1800 python -m sigfish_tpu.cli dtw $RING_CASE_ARGS \
+    --mesh 1x4 --engine pallas > "$OUT/ring.ours" 2> "$OUT/ring.err"
+if diff -q "$OUT/ring.oracle" "$OUT/ring.ours" > /dev/null && [ -s "$OUT/ring.oracle" ]; then
+  echo "PASS ring_1x4_wavefront (byte-identical)"; PASS=$((PASS+1))
+else
+  echo "DIFF ring_1x4_wavefront"; diff "$OUT/ring.oracle" "$OUT/ring.ours" | head -6
+  FAIL=$((FAIL+1))
+fi
+
 # eval subtool output parity
 "$ORACLE" eval "$REF/sp1_dna.minimap2.paf" "$OUT/dna_default.oracle" \
     > "$OUT/eval.oracle" 2>/dev/null

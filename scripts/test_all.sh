@@ -83,16 +83,18 @@ recs = list(read_fasta("/root/reference/test/rnasequin_sequences_2.4.fa"))
 name, seq = max(recs, key=lambda r: len(r[1]))
 open("/tmp/ring_one.fa", "w").write(f">{name}\n{seq}\n")
 PYRING
-  RING_ARGS="/tmp/ring_one.fa /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 --full-ref --engine scan"
-  XLA_FLAGS="--xla_force_host_platform_device_count=4" \
-    timeout 2400 python -m sigfish_tpu.cli dtw $RING_ARGS > "$TMP/ring_s.paf" 2>/dev/null || FAIL=1
-  XLA_FLAGS="--xla_force_host_platform_device_count=4" \
-    timeout 2400 python -m sigfish_tpu.cli dtw $RING_ARGS --mesh 1x4 > "$TMP/ring_m.paf" 2>/dev/null || FAIL=1
-  if cmp -s "$TMP/ring_s.paf" "$TMP/ring_m.paf" && [ -s "$TMP/ring_s.paf" ]; then
-    echo "PASS ring invariance (byte-identical, $(wc -l < "$TMP/ring_s.paf") lines)"
-  else
-    echo "FAIL ring invariance"; FAIL=1
-  fi
+  for RING_ENGINE in scan pallas; do
+    RING_ARGS="/tmp/ring_one.fa /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 --full-ref --engine $RING_ENGINE"
+    XLA_FLAGS="--xla_force_host_platform_device_count=4" \
+      timeout 2400 python -m sigfish_tpu.cli dtw $RING_ARGS > "$TMP/ring_s.paf" 2>/dev/null || FAIL=1
+    XLA_FLAGS="--xla_force_host_platform_device_count=4" \
+      timeout 2400 python -m sigfish_tpu.cli dtw $RING_ARGS --mesh 1x4 > "$TMP/ring_m.paf" 2>/dev/null || FAIL=1
+    if cmp -s "$TMP/ring_s.paf" "$TMP/ring_m.paf" && [ -s "$TMP/ring_s.paf" ]; then
+      echo "PASS ring invariance/$RING_ENGINE (byte-identical, $(wc -l < "$TMP/ring_s.paf") lines)"
+    else
+      echo "FAIL ring invariance/$RING_ENGINE"; FAIL=1
+    fi
+  done
 
   note "stage 4: bench"
   unset JAX_PLATFORMS

@@ -140,7 +140,7 @@ def sharded_sdtw(
 @partial(
     jax.jit,
     static_argnames=("mesh", "ckpt", "td", "use_pallas", "Rs", "lane",
-                     "clip_shift"),
+                     "clip_shift", "interpret"),
 )
 def sharded_engine(
     queries: jnp.ndarray,   # (B, Q) f32, B divisible by dp
@@ -157,6 +157,7 @@ def sharded_engine(
     td: int = 128,
     use_pallas: bool = False,
     clip_shift: bool = False,
+    interpret: bool = False,
 ):
     """Production multi-chip engine: per-shard sDTW (Pallas wavefront on
     TPU shards, lax.scan otherwise) + all_gather of the column-indexed
@@ -174,7 +175,10 @@ def sharded_engine(
             if clip_shift:
                 W = lane + 1
                 sl = jnp.where((ql > 0) & (ql < W), W - ql, 0).astype(jnp.int32)
-            ds = sdtw_wavefront(q, yp, rp, lane=lane, td=td, start_lanes=sl)
+            ds = sdtw_wavefront(
+                q, yp, rp, lane=lane, td=td, start_lanes=sl,
+                interpret=interpret,
+            )
             lr = jax.lax.slice_in_dim(ds, lane, lane + Rs, axis=1)
         else:
             lr = sdtw_scan(q, oh, r[0], rs[0], ckpt=ckpt)

@@ -230,6 +230,10 @@ class Core:
         else:
             self.engine = "scan"
         self.use_pallas = self.engine == "pallas"
+        # off-TPU the wavefront engine runs the Pallas interpreter
+        # (CPU dry runs / ring-on-both-engines checks); same numerics,
+        # no Mosaic compile
+        self.wf_interpret = self.use_pallas and jax.default_backend() != "tpu"
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
         self._wf_cache: dict[int, tuple] = {}
 
@@ -503,6 +507,7 @@ class Core:
                     self.mesh, n_micro=n_micro,
                     lane=W - 1, td=128,
                     start_lanes=jnp.asarray(fs_lanes),
+                    interpret=self.wf_interpret,
                 )
             else:
                 lr = ring_fullref_lastrow(
@@ -560,7 +565,7 @@ class Core:
                 self.shard_ypad_dev, self.shard_rspad_dev,
                 self.mesh, Rs=self.shard_Rs, lane=W - 1,
                 ckpt=self.opt.ckpt, td=128, use_pallas=self.use_pallas,
-                clip_shift=self.use_pallas,
+                clip_shift=self.use_pallas, interpret=self.wf_interpret,
             )
             qlp_dev = jnp.asarray(qlens_pad)
             packed = device_window_top5(
@@ -599,6 +604,7 @@ class Core:
                 lane=W - 1,
                 td=td,
                 start_lanes=None if fs_lanes is None else jnp.asarray(fs_lanes),
+                interpret=self.wf_interpret,
             )
             reindex = True
         else:
