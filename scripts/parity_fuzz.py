@@ -46,7 +46,8 @@ PORE_KIT = {"r10": "sqk-lsk114", "rna004": "sqk-rna004"}
 DIGI, RANGE, OFF, RATE = 8192.0, 1400.0, 5.0, 4000.0
 
 
-def gen_workload(rng: np.random.Generator, rna: bool, d: str, pore: str = "r9"):
+def gen_workload(rng: np.random.Generator, rna: bool, d: str, pore: str = "r9",
+                 force_mappable: bool = False):
     from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
     from sigfish_tpu.models.genref import _seq_bytes, kmer_ranks, reverse_complement
     from sigfish_tpu.models.pore_model import (
@@ -119,7 +120,7 @@ def gen_workload(rng: np.random.Generator, rna: bool, d: str, pore: str = "r9"):
             # events.c:264/304 when trimming consumes the whole read),
             # which turns parity trials into crash-robustness trials --
             # useful for the default leg, noise for the 9-mer legs.
-            if os.environ.get("SIGFISH_FUZZ_MAPPABLE"):
+            if force_mappable or os.environ.get("SIGFISH_FUZZ_MAPPABLE"):
                 kind = 0.0
             if kind < 0.6:  # model-derived mappable read
                 name = f"c{int(rng.integers(0, n_ctg))}"
@@ -191,7 +192,15 @@ def gen_flags(rng: np.random.Generator, rna: bool) -> list[str]:
     return flags
 
 
-def run_trial(seed: int) -> bool:
+def run_trial(seed: int, force_mappable: bool = False) -> dict:
+    """One differential trial. Returns a tally dict:
+    ok        -- trial verdict (False on any byte diff / nonzero exit)
+    diffed    -- 1 if a byte comparison against the oracle actually ran
+    crashed   -- 1 if the oracle crashed on the generated workload
+    A crashed trial does NOT lose diff power silently: our graceful
+    handling of the crashing workload is still required (exit 0), and
+    the trial is re-run with a mappable-only regeneration of the same
+    seed so a byte diff happens anyway (VERDICT r2 weak #4)."""
     rng = np.random.default_rng(seed)
     pore = os.environ.get("SIGFISH_FUZZ_PORE", "r9")
     if pore == "r10":
@@ -203,7 +212,8 @@ def run_trial(seed: int) -> bool:
     else:
         rna = bool(rng.random() < 0.4)
     with tempfile.TemporaryDirectory() as d:
-        fa, bl = gen_workload(rng, rna, d, pore=pore)
+        fa, bl = gen_workload(rng, rna, d, pore=pore,
+                              force_mappable=force_mappable)
         flags = gen_flags(rng, rna)
         tsv = {
             "r9": RNA_TSV if rna else DNA_TSV,
@@ -263,7 +273,7 @@ def run_trial(seed: int) -> bool:
                     if a != b:
                         print(f"  single: {a}\n  mesh:   {b}")
                         break
-            return ok
+            return dict(ok=ok, diffed=1, crashed=0)
         ro = subprocess.run(
             [ORACLE, "dtw", "-t", "1"] + cmd_common,
             capture_output=True, timeout=600,
@@ -277,12 +287,20 @@ def run_trial(seed: int) -> bool:
         )
         if ro.returncode != 0:
             # the reference crashes on some degraded inputs (PARITY.md
-            # Robustness); we must still exit 0 -- skip the byte diff
-            ok = rs.returncode == 0
+            # Robustness: the dead-code MAD-trim assert/use-after-free);
+            # we must still exit 0. The byte diff is NOT silently lost:
+            # the trial re-runs with a mappable-only regeneration of the
+            # same seed, which the oracle survives, so diff power stays.
+            graceful = rs.returncode == 0
             print(f"seed {seed}: oracle crashed (rc={ro.returncode}), "
-                  f"ours rc={rs.returncode} [{'OK' if ok else 'FAIL'}] "
-                  f"{pore} {'rna' if rna else 'dna'} {' '.join(flags)}")
-            return ok
+                  f"ours rc={rs.returncode} [{'OK' if graceful else 'FAIL'}] "
+                  f"{pore} {'rna' if rna else 'dna'} {' '.join(flags)}"
+                  + ("" if force_mappable else " -> retry mappable-only"))
+            if force_mappable or not graceful:
+                return dict(ok=graceful, diffed=0, crashed=1)
+            retry = run_trial(seed, force_mappable=True)
+            return dict(ok=graceful and retry["ok"],
+                        diffed=retry["diffed"], crashed=1 + retry["crashed"])
         ok = rs.returncode == 0 and ro.stdout == rs.stdout
         status = "OK" if ok else "DIFF"
         print(f"seed {seed}: {status}  {pore} {'rna' if rna else 'dna'} "
@@ -298,7 +316,7 @@ def run_trial(seed: int) -> bool:
                 print(f"  line counts: oracle {len(o)} vs ours {len(u)}")
             if rs.returncode != 0:
                 print("  stderr:", rs.stderr.decode()[-500:])
-        return ok
+        return dict(ok=ok, diffed=1, crashed=0)
 
 
 def ensure_oracle() -> None:
@@ -315,11 +333,16 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     ensure_oracle()
-    fails = 0
+    fails = diffed = crashed = 0
     for t in range(n):
-        if not run_trial(base + t):
+        r = run_trial(base + t)
+        if not r["ok"]:
             fails += 1
-    print(f"== {n - fails}/{n} trials byte-identical ==")
+        diffed += r["diffed"]
+        crashed += r["crashed"]
+    print(f"== {n - fails}/{n} trials pass: {diffed} byte-diffed, "
+          f"{crashed} oracle-crash (graceful-handling checked, "
+          f"diff recovered via mappable retry) ==")
     return 1 if fails else 0
 
 

@@ -464,8 +464,10 @@ class Slow5File:
     def decode_record(self, blob: bytes, with_aux: bool = False) -> Slow5Record:
         """ref: slow5_rec_depress_parse + binary/ascii column parse.
 
-        Uses the native (C++) decoder for the common zlib/svb-zd
-        combinations; falls back to the Python path for zstd/ascii.
+        Uses the native (C++) decoder for every binary press combination
+        (record none/zlib/zstd x signal none/svb-zd/zlib/zstd incl. the
+        dev codes 250/251); falls back to the Python path for ascii and
+        aux parsing.
         ``with_aux=True`` additionally parses the auxiliary columns
         declared in the header (slow5.c:3084-3184) into ``rec.aux``."""
         if self.format == "ascii":

@@ -25,7 +25,7 @@ def _build() -> bool:
     try:
         cmd = [
             "g++", "-O3", "-march=native", "-ffp-contract=off", "-fno-math-errno", "-shared", "-fPIC",
-            "-o", _SO, _SRC, "-lz", "-ldeflate",
+            "-o", _SO, _SRC, "-lz", "-ldeflate", "-lzstd",
         ]
         if os.environ.get("SIGFISH_TPU_ASAN"):
             # sanitizer build (ref Makefile:29-32 `make asan=1`); run
@@ -278,8 +278,8 @@ def blow5_decode(blob: bytes, rec_press: str, sig_press: str):
     lib = _load()
     if lib is None:
         return None
-    rp = {"none": 0, "zlib": 1}.get(rec_press)
-    sp = {"none": 0, "svb-zd": 1}.get(sig_press)
+    rp = {"none": 0, "zlib": 1, "zstd": 2}.get(rec_press)
+    sp = {"none": 0, "svb-zd": 1, "zlib": 250, "zstd": 251}.get(sig_press)
     if rp is None or sp is None:
         return None
     buf = np.frombuffer(blob, dtype=np.uint8)

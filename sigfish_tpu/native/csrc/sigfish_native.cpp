@@ -25,6 +25,7 @@
 
 #include <zlib.h>
 #include <libdeflate.h>
+#include <zstd.h>
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
@@ -869,10 +870,45 @@ static const SvbTables& svb_tables() {
 }
 #endif
 
-// One BLOW5 record: optional zlib record decompression, fixed-column
-// parse (slow5_defs.h:84-94 layout), optional svb-zd signal decode
-// (zigzag + delta + streamvbyte, slow5_press.c:1054-1140).
-// rec_press: 0 none, 1 zlib. sig_press: 0 none, 1 svb-zd.
+// zstd decompression into a caller-provided thread-local growable
+// buffer (system libzstd; lossless, any conforming decoder is exact).
+// Returns the decompressed byte count, or -1 on error.
+// ref: slow5lib/src/slow5_press.c:76-97 (record method 2) and the
+// dev signal codes 250/251 (slow5_press.c:125-148).
+static int64_t zstd_depress_tl(const uint8_t* src, int64_t src_len,
+                               uint8_t** buf, size_t* buf_cap) {
+    unsigned long long csz = ZSTD_getFrameContentSize(src, (size_t)src_len);
+    size_t need;
+    if (csz != ZSTD_CONTENTSIZE_UNKNOWN && csz != ZSTD_CONTENTSIZE_ERROR) {
+        if (csz > (1ull << 31)) return -1;  // untrusted frame header
+        need = (size_t)csz + 16;
+    } else {
+        need = (size_t)src_len * 4 + 4096;
+    }
+    while (true) {
+        if (need > *buf_cap) {
+            size_t cap = need < 2 * *buf_cap ? 2 * *buf_cap : need;
+            free(*buf);
+            *buf = (uint8_t*)malloc(cap);
+            *buf_cap = *buf ? cap : 0;
+            if (!*buf) return -1;
+        }
+        size_t r = ZSTD_decompress(*buf, *buf_cap, src, (size_t)src_len);
+        if (!ZSTD_isError(r)) return (int64_t)r;
+        // growth-loop only when the frame header didn't carry a size
+        // (then the only recoverable error is dst-too-small); corrupt
+        // input terminates at the 256 MB cap
+        if (csz != ZSTD_CONTENTSIZE_UNKNOWN || need > (256u << 20)) return -1;
+        need *= 2;
+    }
+}
+
+// One BLOW5 record: optional zlib/zstd record decompression,
+// fixed-column parse (slow5_defs.h:84-94 layout), optional signal
+// decode: svb-zd (zigzag + delta + streamvbyte, slow5_press.c:1054-1140)
+// or the whole-signal zlib/zstd dev codes.
+// rec_press: 0 none, 1 zlib, 2 zstd. sig_press: 0 none, 1 svb-zd,
+// 250 zlib, 251 zstd (slow5lib dev codes).
 // Returns the signal length in samples, or -1 on error.
 int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
                         int32_t rec_press, int32_t sig_press,
@@ -922,8 +958,16 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
             }
             return -1;
         }
+    } else if (rec_press == 2) {
+        // zstd-wrapped records (slow5_press.c:76-97 method 2)
+        static thread_local uint8_t* zbuf = nullptr;
+        static thread_local size_t zbuf_cap = 0;
+        int64_t dlen = zstd_depress_tl(blob, blob_len, &zbuf, &zbuf_cap);
+        if (dlen < 0) return -1;
+        mem = zbuf;
+        mem_len = dlen;
     } else if (rec_press != 0) {
-        return -1;  // zstd handled by the Python fallback
+        return -1;
     }
 
     int64_t off = 0;
@@ -1024,6 +1068,47 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
             signal_out[i] = (int16_t)prev;
         }
         n = (int64_t)count;
+    } else if (sig_press == 250 || sig_press == 251) {
+        // dev codes: the whole i16 signal zlib/zstd-compressed
+        // (slow5_press.c:125-148); len_raw is the compressed byte count
+        if (len_raw > (uint64_t)(mem_len - off)) { free(heap); return -1; }
+        static thread_local uint8_t* sbuf = nullptr;
+        static thread_local size_t sbuf_cap = 0;
+        int64_t dlen;
+        if (sig_press == 251) {
+            dlen = zstd_depress_tl(mem + off, (int64_t)len_raw, &sbuf, &sbuf_cap);
+        } else {
+            static thread_local struct libdeflate_decompressor* sdec = nullptr;
+            if (!sdec) {
+                sdec = libdeflate_alloc_decompressor();
+                if (!sdec) { free(heap); return -1; }
+            }
+            size_t need = (size_t)len_raw * 4 + 4096;
+            dlen = -1;
+            while (true) {
+                if (need > sbuf_cap) {
+                    size_t cap = need < 2 * sbuf_cap ? 2 * sbuf_cap : need;
+                    free(sbuf);
+                    sbuf = (uint8_t*)malloc(cap);
+                    sbuf_cap = sbuf ? cap : 0;
+                    if (!sbuf) { free(heap); return -1; }
+                }
+                size_t got = 0;
+                enum libdeflate_result rc = libdeflate_zlib_decompress(
+                    sdec, mem + off, (size_t)len_raw, sbuf, sbuf_cap, &got);
+                if (rc == LIBDEFLATE_SUCCESS) { dlen = (int64_t)got; break; }
+                if (rc == LIBDEFLATE_INSUFFICIENT_SPACE && need <= (256u << 20)) {
+                    need *= 2;
+                    continue;
+                }
+                free(heap);
+                return -1;
+            }
+        }
+        if (dlen < 0 || (dlen & 1)) { free(heap); return -1; }
+        n = dlen / 2;
+        if (n > signal_cap) { free(heap); return -2 - n; }
+        memcpy(signal_out, sbuf, (size_t)dlen);
     } else {
         free(heap);
         return -1;

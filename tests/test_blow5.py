@@ -451,3 +451,41 @@ def test_char_aux_empty_and_none_roundtrip(tmp_path):
         recs = [sf.decode_record(b, with_aux=True) for b in iter(sf.read_next_blob, None)]
     assert [r.aux["ch"] for r in recs] == [None, None, "A"]
     assert all(r.aux["median_before"] == 5.5 for r in recs)
+
+
+@pytest.mark.parametrize("rec_press", ["none", "zlib", "zstd"])
+@pytest.mark.parametrize("sig_press", ["none", "svb-zd", "zlib", "zstd"])
+def test_press_matrix_native_decode(tmp_path, rec_press, sig_press):
+    """Every binary press combination decodes through the NATIVE decoder
+    (record none/zlib/zstd x signal none/svb-zd + dev codes 250/251,
+    slow5_press.c:76-148) and matches the pure-Python parse of the same
+    blob bit for bit."""
+    from sigfish_tpu import native
+    from sigfish_tpu.io.blow5 import Slow5Writer
+
+    rng = np.random.default_rng(11)
+    sigs = [
+        rng.integers(-m, m, size=int(rng.integers(0, 2000))).astype(np.int16)
+        for m in (5, 30000, 700, 1)
+    ]
+    p = str(tmp_path / f"m_{rec_press}_{sig_press}.blow5")
+    with Slow5Writer(p, rec_press=rec_press, sig_press=sig_press) as w:
+        for i, s in enumerate(sigs):
+            w.write_record(_mkrec(i, s))
+    with Slow5File(p) as sf:
+        assert sf.rec_press == rec_press and sf.sig_press == (
+            sig_press if sig_press != "none" else "none"
+        )
+        blobs = sf.read_batch(100, 1 << 30)
+        assert len(blobs) == len(sigs)
+        for i, blob in enumerate(blobs):
+            if native.available():
+                # the native path must actually serve this combo
+                res = native.blow5_decode(blob, sf.rec_press, sf.sig_press)
+                assert res is not None, (rec_press, sig_press)
+            rec_n = sf.decode_record(blob)             # native when built
+            rec_p = sf.decode_record(blob, with_aux=True)  # python parse
+            for rec in (rec_n, rec_p):
+                assert rec.read_id == f"r{i}"
+                assert rec.digitisation == 8192.0 and rec.offset == 3.0
+                np.testing.assert_array_equal(rec.raw_signal, sigs[i])

@@ -204,6 +204,8 @@ def test_press_matrix_identical_output(tmp_path):
         ("zlib", "zlib", ".blow5"),    # dev code 250
         ("zlib", "zstd", ".blow5"),    # dev code 251
         ("zstd", "svb-zd", ".blow5"),
+        ("zstd", "zstd", ".blow5"),    # full-zstd file, native decode
+        ("none", "svb-zd", ".blow5"),
         (None, None, ".slow5"),        # ASCII
     ]
     outs = []
