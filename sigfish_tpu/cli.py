@@ -71,6 +71,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--profile-cpu", type=_yes_no, default=False, metavar="yes|no", help="process section by section with per-stage timers")
     p.add_argument("--accel", type=_yes_no, default=None, metavar="yes|no", help="use the TPU engine [auto]")
     p.add_argument("--engine", choices=["pallas", "scan", "native"], default=None, help="sDTW engine [auto: pallas on TPU, native C++ on CPU]")
+    p.add_argument("--host-stages", choices=["host", "device"], default="host", help="where eventization runs: host (native C++, default) or device (batched JAX pass; the PCIe-host scaling path)")
     p.add_argument("-a", "--sam", action="store_true", help="output in SAM format")
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default=None, help="pore chemistry [auto]")
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")
@@ -138,6 +139,7 @@ def dtw_main(argv: list[str]) -> int:
         use_pallas=args.accel,
         engine=args.engine,
         mesh=args.mesh,
+        host_stages=args.host_stages,
     )
     if args.shard:
         i_s, n_s = args.shard.split("/")

@@ -102,6 +102,11 @@ class Options:
     # multi-host contiguous record range: stop after this many records
     # (the host seeked to its range start via Slow5File.seek_record)
     rec_limit: int | None = None
+    # "host" (default) runs eventization on the host (native C++ /
+    # prefix-bounded); "device" batches raw signals through the JAX
+    # eventizer (ops/events_device.py) -- the scaling path for
+    # PCIe-attached hosts where the host stages bound RNA throughput
+    host_stages: str = "host"
 
 
 @dataclass
@@ -118,6 +123,13 @@ class Core:
 
     def __init__(self, fasta_path: str, slow5_path: str, opt: Options):
         self.opt = opt
+        if opt.host_stages == "device":
+            # the device eventizer's t-stat chain is f64 by contract
+            # (events.c:297-368); jit caches key on this config, so the
+            # f32 engine traces are unaffected
+            jax.config.update("jax_enable_x64", True)
+        elif opt.host_stages != "host":
+            raise SystemExit(f"unknown --host-stages {opt.host_stages!r}")
         self.sf = Slow5File(slow5_path)
 
         # --- auto-detection from the SLOW5 header
@@ -1029,6 +1041,53 @@ def _prepare_read(core: Core, blob: bytes) -> ReadWork:
     return _normalise_single(core, _event_single(core, w))
 
 
+def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
+    """--host-stages device: eventize the whole batch on the device
+    (ops/events_device.py) instead of per-read on the host. Fills
+    event_start/length/mean/n_events in place; reads overflowing the
+    device event cap fall back to the exact host path. Output-identical
+    to _event_single wherever the backend's f64 is IEEE (the CPU
+    backend; see the module docstring for the TPU caveat)."""
+    from ..ops.events_device import detect_events_batch
+
+    idx = [i for i, w in enumerate(works) if not w.skip]
+    if not idx:
+        return
+    # bucket S and B to powers of two: one compile per (S, B) bucket
+    S = max(works[i].rec.len_raw_signal for i in idx)
+    Sb = 1024
+    while Sb < S:
+        Sb *= 2
+    Bb = 64
+    while Bb < len(idx):
+        Bb *= 2
+    sig = np.zeros((Bb, Sb), np.int16)
+    ns = np.zeros(Bb, np.int32)
+    digi = np.full(Bb, 1.0)
+    off = np.zeros(Bb)
+    rng_pa = np.full(Bb, 1.0)
+    for r, i in enumerate(idx):
+        rec = works[i].rec
+        sig[r, : rec.len_raw_signal] = rec.raw_signal
+        ns[r] = rec.len_raw_signal
+        digi[r] = rec.digitisation
+        off[r] = rec.offset
+        rng_pa[r] = rec.range
+    tables, _ = detect_events_batch(sig, ns, digi, off, rng_pa, core.opt.rna)
+    for r, i in enumerate(idx):
+        w = works[i]
+        et = tables[r]
+        if et is None:  # device event-cap overflow: exact host fallback
+            _event_single(core, w)
+            continue
+        w.event_start = et.start
+        w.event_length = et.length
+        w.event_mean = et.mean.copy()
+        w.n_events = et.n
+        if et.n <= 0:
+            w.skip = True
+
+
 def _backtrack_best(
     core: Core,
     w: ReadWork,
@@ -1133,11 +1192,19 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
         works = _map(lambda b: _parse_single(core, b), blobs)
         core.parse_time += _time.time() - t0
         t0 = _time.time()
-        works = _map(lambda w: _event_single(core, w), works)
+        if opt.host_stages == "device":
+            _event_batch_device(core, works)
+        else:
+            works = _map(lambda w: _event_single(core, w), works)
         core.event_time += _time.time() - t0
         t0 = _time.time()
         works = _map(lambda w: _normalise_single(core, w), works)
         core.normalise_time += _time.time() - t0
+        dtw_t0 = _time.time()
+    elif opt.host_stages == "device":
+        works = _map(lambda b: _parse_single(core, b), blobs)
+        _event_batch_device(core, works)
+        works = _map(lambda w: _normalise_single(core, w), works)
         dtw_t0 = _time.time()
     else:
         works = _map(lambda b: _prepare_read(core, b), blobs)
@@ -1389,6 +1456,13 @@ def run_dtw(core: Core, out_fp) -> None:
         core.ignored += stats.ignored
         core.too_short += stats.too_short
         state["counter"] += 1
+        # fault-injection hook (tests only): simulate a host crashing
+        # mid-run after N drained batches -- the distributed peers must
+        # fail fast with a named diagnosis, never hang
+        # (tests/test_distributed.py::test_mid_run_peer_death)
+        die_after = _os.environ.get("SIGFISH_TPU_DIE_AFTER_BATCH")
+        if die_after is not None and state["counter"] >= int(die_after):
+            _os._exit(9)
 
     import concurrent.futures as _fut2
 

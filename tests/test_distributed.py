@@ -240,3 +240,40 @@ def test_gather_timeout_diagnoses_dead_peer(tmp_path):
     assert h0.returncode != 0
     msg = err0.decode()
     assert "timed out" in msg and "host 1" in msg, msg[-800:]
+
+
+def test_mid_run_peer_death_fails_fast(tmp_path):
+    """A peer dying MID-RUN (after draining its first batch, not at
+    init) must make host 0 exit nonzero within the gather timeout with
+    the dead peer named -- the crash analogue the init-time test above
+    cannot cover. No retry: a hang or an unnamed failure here is a
+    product bug, not scheduler flake."""
+    port = _free_port()
+    outs = [str(tmp_path / f"h{i}.paf") for i in range(3)]
+    procs = []
+    for i in range(3):
+        env = _env()
+        env["SIGFISH_GATHER_TIMEOUT_MS"] = "15000"
+        if i == 2:
+            # host 2 crashes after its first drained batch (-K 1 forces
+            # multiple batches per host so the death is genuinely mid-run)
+            env["SIGFISH_TPU_DIE_AFTER_BATCH"] = "1"
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "sigfish_tpu.cli", "dtw", FA, BL,
+                    "--hosts", "3", "--host-id", str(i),
+                    "--coordinator", f"localhost:{port}",
+                    "-K", "1", "-o", outs[i],
+                ],
+                env=env, stderr=subprocess.PIPE, cwd="/root/repo",
+            )
+        )
+    errs, rcs = [], []
+    for p in procs:
+        _, err = p.communicate(timeout=300)  # fail-fast, not a hang
+        errs.append(err.decode())
+        rcs.append(p.returncode)
+    assert rcs[2] == 9, f"fault injection did not fire: {errs[2][-500:]}"
+    assert rcs[0] != 0, "host 0 exited 0 despite a dead peer"
+    assert "host 2" in errs[0] and "timed out" in errs[0], errs[0][-800:]

@@ -281,3 +281,32 @@ def test_forced_native_engine_without_native_lib(tmp_path, monkeypatch):
     # the same exact scalar order as the C kernel
     assert with_lib == without_lib
     assert len([l for l in with_lib.splitlines() if l]) == 2
+
+
+def test_host_stages_device_identical_output():
+    """--host-stages device (batched JAX eventization,
+    ops/events_device.py) must produce byte-identical PAF to the host
+    path on the CPU backend -- both chemistries, incl. the RNA polyA
+    autodetect whose query start depends on exact event boundaries."""
+    import jax
+
+    try:
+        host_dna = _run(f"{REF}/nCoV-2019.reference.fasta", f"{REF}/sp1_dna.blow5")
+        dev_dna = _run(
+            f"{REF}/nCoV-2019.reference.fasta", f"{REF}/sp1_dna.blow5",
+            host_stages="device",
+        )
+        assert dev_dna == host_dna
+        host_rna = _run(
+            f"{REF}/rnasequin_sequences_2.4.fa", f"{REF}/sequin_rna.blow5",
+            rna=True, query_size=500, prefix_size=-1,
+        )
+        dev_rna = _run(
+            f"{REF}/rnasequin_sequences_2.4.fa", f"{REF}/sequin_rna.blow5",
+            rna=True, query_size=500, prefix_size=-1, host_stages="device",
+        )
+        assert dev_rna == host_rna
+    finally:
+        # Core enables x64 for the device eventizer; restore the suite's
+        # default dtype behavior
+        jax.config.update("jax_enable_x64", False)
