@@ -23,11 +23,14 @@ opens the DP at lane W-qlen -- both the single-device kernel and the
 mesh/ring carry variant take the mask, so every path serves clips on
 device. ds[:, W-1 : W-1+R] is the column-indexed last row.
 
-Per step: ~12 VPU ops on (B, Q) f32, no serial scan chains, x8 loop
-unroll (the per-iteration dispatch overhead would otherwise dominate).
-min-plus DP has no MXU path; the VPU is the roofline, so everything
-stays float32 resident in VMEM with zero HBM traffic inside a tile.
-Measured 150 Gcell/s at (B=512, Q=256, nCoV reference) on one v5e.
+Per step: ~10 VPU ops on (B, Q) f32 (one lane roll -- the d-2 diagonal
+is carried pre-rolled -- plus the recurrence mins/selects), no serial
+scan chains, and a FULLY unrolled tile body (no loop dispatch; see
+_wavefront_tile). min-plus DP has no MXU path; the VPU is the roofline,
+so everything stays float32 resident in VMEM with zero HBM traffic
+inside a tile. Measured 234 Gcell/s at (B=512, Q=256, nCoV reference,
+td=256, unroll=8) on one v5e -- was 150 with the fori_loop body and
+two rolls per step (scripts/bench_kernel.py reproduces the sweep).
 
 Grid: sequential tiles of TD diagonals; DP carry diagonals live in VMEM
 scratch across grid steps. ref: semantics of src/cdtw.c:172-189 (see
@@ -47,13 +50,37 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.0e38  # plain python floats: jnp scalars would be captured consts
 PAD = 1.0e18
 
+# Default diagonal-tile width. The tile body is FULLY unrolled (see
+# _wavefront_tile), so td trades grid-step overhead against compile
+# time: measured on v5e at (B=512, Q=256, nCoV) 128 -> 222 Gcell/s,
+# 256 -> 234 Gcell/s, 512 -> compile blows past 10 min. Everything that
+# feeds the kernel (segment alignment in the ring/tracks shards) must
+# stay a multiple of this.
+WF_TD = 256
+
 
 def _wavefront_tile(
-    queries_ref, ypad_ref, rspad_ref, state, *, td: int, lane: int, unroll: int,
-    fs_mask=None,
+    queries_ref, ypad_ref, rspad_ref, out_ref, state, *, td: int, lane: int,
+    unroll: int, fs_mask=None,
 ):
-    """One TD-diagonal tile: advances (a1, a2, ywin, rswin) and returns
-    the new state plus the (B, td) emitted last-row-lane tile.
+    """One TD-diagonal tile: advances (a1, b2, ywin, rswin), writing the
+    emitted last-row-lane values into out_ref (a (B, td) block).
+
+    The carried DP state is (a1, b2) where a1 = A_{d-1} and
+    b2 = roll(A_{d-2}) -- the ROLLED previous-previous diagonal. The
+    recurrence needs roll(a1) (the 'up' term) and roll(a2) (the 'diag'
+    term); roll(a2) at step d IS the roll(a1) computed at step d-1, so
+    carrying it saves one (B, Q) roll per diagonal -- the largest
+    single op in the step (two full-width lane rotations -> one).
+
+    The td-step loop is FULLY unrolled in Python: td is static, so every
+    emission store lands at a static column offset (Mosaic cannot lower
+    dynamic lane-offset vector stores), and there is no per-iteration
+    loop dispatch at all. `unroll` is the emission-group width: each
+    group of `unroll` (B, 1) last-row slices concatenates into one
+    (B, unroll) static store -- replacing the old per-step (B, td)
+    iota-compare + select with a narrow write, and bounding the live
+    slice set (full-td concat would hold td (B, 1) values to the end).
 
     fs_mask: optional (B, Q) bool, True at each read's FREE-START lane
     (lane 0 when None). Clipped reads (qlen != lane+1) are served by
@@ -67,11 +94,11 @@ def _wavefront_tile(
     if fs_mask is None:
         fs_mask = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1) == 0
     lane_1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (B, td), 1)
 
-    def one(t, carry):
+    a1, b2, ywin, rswin = state
+    lrs = []
+    for t in range(td):
         # advance the reference/reset windows: lane i holds y[d - i]
-        a1, a2, ywin, rswin, acc = carry
         y_d = ypad_ref[0, t]
         rs_d = rspad_ref[0, t]
         ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin, shift=1, axis=1))
@@ -79,35 +106,24 @@ def _wavefront_tile(
 
         local = jnp.abs(q - ywin)  # (B, Q) via broadcast of (1, Q)
         rs = (rswin > 0.5)  # (1, Q) broadcast
-        # up = a1 shifted; diag = a2 shifted; left = a1. The rs track-
-        # reset mask applies to left+diag (both read column j-1 of the
-        # previous track); lane 0 needs no shift fill because the free-
-        # start select below overwrites the whole row
+        # up = roll(a1); diag = roll(a2) == b2 (carried, already rolled);
+        # left = a1. The rs track-reset mask applies to left+diag (both
+        # read column j-1 of the previous track); lane 0 needs no shift
+        # fill because the free-start select below overwrites the row
         up = pltpu.roll(a1, shift=1, axis=1)
-        ld = jnp.where(rs, BIG, jnp.minimum(a1, pltpu.roll(a2, shift=1, axis=1)))
+        ld = jnp.where(rs, BIG, jnp.minimum(a1, b2))
         a_new = local + jnp.minimum(up, ld)
         a_new = jnp.where(fs_mask, local, a_new)  # free start row
 
-        # emit the uniform last-row lane (qlen-1 == lane for full-length
+        # the uniform last-row lane (qlen-1 == lane for full-length
         # reads; clipped reads land here too via the fs_mask query
         # shift): a static lane slice, no cross-lane reduction
-        lr = a_new[:, lane : lane + 1]  # (B, 1)
-        acc = jnp.where(col_idx == t, lr, acc)
-        return (a_new, a1, ywin, rswin, acc)
-
-    # unrolled loop: the per-iteration dispatch overhead dominates the
-    # ~12 small vector ops of one diagonal (td=128/unroll=8 is ~8x over
-    # unroll=1)
-    def step(i, carry):
-        t = i * unroll
-        for u in range(unroll):
-            carry = one(t + u, carry)
-        return carry
-
-    acc0 = jnp.full((B, td), PAD, dtype=jnp.float32)
-    a1, a2, ywin, rswin = state
-    carry = jax.lax.fori_loop(0, td // unroll, step, (a1, a2, ywin, rswin, acc0))
-    return carry[:4], carry[4]
+        lrs.append(a_new[:, lane : lane + 1])  # (B, 1)
+        a1, b2 = a_new, up
+        if len(lrs) == unroll:
+            out_ref[:, t + 1 - unroll : t + 1] = jnp.concatenate(lrs, axis=1)
+            lrs = []
+    return (a1, b2, ywin, rswin)
 
 
 def _wavefront_kernel(
@@ -139,12 +155,11 @@ def _wavefront_kernel(
         rswin_ref[:] = jnp.zeros((1, Q), dtype=jnp.float32)
 
     state = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:])
-    state, acc = _wavefront_tile(
-        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane,
+    state = _wavefront_tile(
+        queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
         unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
     )
     a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = state
-    out_ref[:] = acc
 
 
 def _wavefront_carry_kernel(
@@ -154,7 +169,10 @@ def _wavefront_carry_kernel(
     rspad_ref,    # (1, TD) SMEM block
     fsmask_ref,   # (B, Q) VMEM: 1.0 at each read's free-start lane
     a1_in,        # (B, Q) incoming DP state (diagonal d-1)
-    a2_in,        # (B, Q) incoming DP state (diagonal d-2)
+    a2_in,        # (B, Q) incoming roll(diagonal d-2) -- the rolled form
+                  # the tile carries (see _wavefront_tile); opaque to
+                  # callers, which only seed BIG (roll-invariant) and
+                  # pass segment-outgoing -> segment-incoming verbatim
     ywin_in,      # (1, Q) incoming reference-value window
     rswin_in,     # (1, Q) incoming reset window
     # outputs
@@ -183,12 +201,11 @@ def _wavefront_carry_kernel(
         rswin_out[:] = rswin_in[:]
 
     state = (a1_out[:], a2_out[:], ywin_out[:], rswin_out[:])
-    state, acc = _wavefront_tile(
-        queries_ref, ypad_ref, rspad_ref, state, td=td, lane=lane,
+    state = _wavefront_tile(
+        queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
         unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
     )
     a1_out[:], a2_out[:], ywin_out[:], rswin_out[:] = state
-    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))
@@ -197,7 +214,7 @@ def sdtw_wavefront(
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
     rspad: jnp.ndarray,     # (1, D) float32
     lane: int,              # the uniform qlen-1 row to emit
-    td: int = 128,
+    td: int = WF_TD,
     unroll: int = 8,
     interpret: bool = False,
     start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
@@ -288,11 +305,12 @@ def sdtw_wavefront_carry(
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
     rspad: jnp.ndarray,     # (1, D) float32
     a1: jnp.ndarray,        # (B, Q) incoming diagonal d-1 (BIG when fresh)
-    a2: jnp.ndarray,        # (B, Q) incoming diagonal d-2
+    a2: jnp.ndarray,        # (B, Q) incoming ROLLED diagonal d-2 (opaque:
+                            # seed BIG, else pass a prior call's output)
     ywin: jnp.ndarray,      # (1, Q) incoming reference window (PAD when fresh)
     rswin: jnp.ndarray,     # (1, Q) incoming reset window (0 when fresh)
     lane: int,
-    td: int = 128,
+    td: int = WF_TD,
     unroll: int = 8,
     interpret: bool = False,
     start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
@@ -351,7 +369,7 @@ def sdtw_wavefront_carry(
 
 
 def prepare_wavefront_inputs(
-    ref: np.ndarray, reset: np.ndarray, Q: int, td: int = 128
+    ref: np.ndarray, reset: np.ndarray, Q: int, td: int = WF_TD
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Pad the concatenated track array for the wavefront kernel.
 

@@ -35,6 +35,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.sdtw import _column_update, make_query_batch, sdtw_scan
+from ..ops.sdtw_pallas import WF_TD
 
 
 def make_mesh(n_dp: int, n_tp: int = 1, devices=None) -> Mesh:
@@ -154,7 +155,7 @@ def sharded_engine(
     Rs: int,
     lane: int,
     ckpt: int = 512,
-    td: int = 128,
+    td: int = WF_TD,
     use_pallas: bool = False,
     clip_shift: bool = False,
     interpret: bool = False,
@@ -292,7 +293,7 @@ def ring_fullref_lastrow_wavefront(
     mesh: Mesh,
     n_micro: int,
     lane: int,
-    td: int = 128,
+    td: int = WF_TD,
     unroll: int = 8,
     interpret: bool = False,
     start_lanes: jnp.ndarray | None = None,  # (B,) i32, replicated

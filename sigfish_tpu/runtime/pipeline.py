@@ -275,11 +275,12 @@ class Core:
                 ref_cat, reset, offsets = pad_tracks(tracks, ckpt=opt.ckpt, align=W)
                 unit = opt.ckpt * W // _math.gcd(opt.ckpt, W)
                 if self.use_pallas:
-                    # the wavefront kernel tiles diagonals in td=128
+                    # the wavefront kernel tiles diagonals in WF_TD
                     # chunks (sdtw_pallas: D % td == 0): segment widths
-                    # must also be 128-aligned or an odd --ckpt/-q combo
-                    # trips the kernel's assert at trace time
-                    unit = unit * 128 // _math.gcd(unit, 128)
+                    # must also be WF_TD-aligned or an odd --ckpt/-q
+                    # combo trips the kernel's assert at trace time
+                    from ..ops.sdtw_pallas import WF_TD as _wftd
+                    unit = unit * _wftd // _math.gcd(unit, _wftd)
                 # + pad_q: the wavefront ring needs >= lane (= W-1) PAD
                 # diagonals after the last real column to flush its
                 # emissions (parallel/shard.ring_fullref_lastrow_wavefront)
@@ -334,7 +335,7 @@ class Core:
                     yps, rps = [], []
                     D = 0
                     for s in range(n_tp):
-                        yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q, td=128)
+                        yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q)
                         yps.append(yp[0])
                         rps.append(rp[0])
                         D = max(D, d)
@@ -517,7 +518,7 @@ class Core:
                 lr = ring_fullref_lastrow_wavefront(
                     jnp.asarray(qb_k), self.ring_ref_dev, self.ring_rspad_dev,
                     self.mesh, n_micro=n_micro,
-                    lane=W - 1, td=128,
+                    lane=W - 1,
                     start_lanes=jnp.asarray(fs_lanes),
                     interpret=self.wf_interpret,
                 )
@@ -576,7 +577,7 @@ class Core:
                 self.shard_ref_dev, self.shard_reset_dev,
                 self.shard_ypad_dev, self.shard_rspad_dev,
                 self.mesh, Rs=self.shard_Rs, lane=W - 1,
-                ckpt=self.opt.ckpt, td=128, use_pallas=self.use_pallas,
+                ckpt=self.opt.ckpt, use_pallas=self.use_pallas,
                 clip_shift=self.use_pallas, interpret=self.wf_interpret,
             )
             qlp_dev = jnp.asarray(qlens_pad)
@@ -594,10 +595,9 @@ class Core:
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if self.use_pallas:
             Q = qb.shape[1]
-            td = 128
             if Q not in self._wf_cache:
                 self._wf_cache[Q] = prepare_wavefront_inputs(
-                    self.ref_cat, self.reset, Q, td=td
+                    self.ref_cat, self.reset, Q
                 )
             ypad, rspad, D = self._wf_cache[Q]
             if clip_rows.size:
@@ -614,7 +614,6 @@ class Core:
                 jnp.asarray(ypad),
                 jnp.asarray(rspad),
                 lane=W - 1,
-                td=td,
                 start_lanes=None if fs_lanes is None else jnp.asarray(fs_lanes),
                 interpret=self.wf_interpret,
             )
