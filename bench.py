@@ -97,6 +97,98 @@ def _device_preflight(timeout_s: int = 900) -> bool:
         return False
 
 
+def _kernel_gcells() -> float:
+    """Wavefront-kernel microbench: Gcell/s at the production DNA shape
+    (B=512, Q=256, nCoV two-strand reference) with the default td/unroll.
+    scripts/bench_kernel.py is the full sweep; this is its headline combo
+    so BENCH_r0N carries the kernel number next to the e2e reads/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sigfish_tpu.models.genref import gen_ref
+    from sigfish_tpu.models.pore_model import MODEL_ID_DNA_R9, load_builtin_model
+    from sigfish_tpu.ops.sdtw import pad_tracks
+    from sigfish_tpu.ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
+
+    B, Q = 512, 256
+    model = load_builtin_model(MODEL_ID_DNA_R9)
+    ref = gen_ref(REF_FASTA, model, rna=False)
+    tracks = []
+    for j in range(ref.num_ref):
+        tracks.append(ref.forward[j])
+        tracks.append(ref.reverse[j])
+    ref_cat, reset, _ = pad_tracks(tracks, ckpt=512)
+    ypad, rspad, D = prepare_wavefront_inputs(ref_cat, reset, Q)
+    qb = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, Q)).astype(np.float32)
+    )
+    ypad_d, rspad_d = jnp.asarray(ypad), jnp.asarray(rspad)
+    n_it = 4
+
+    @jax.jit
+    def chain(q0, yp, rp):
+        # dependent launches inside one computation: excludes the
+        # per-launch device-link latency from the timing
+        q = q0
+        for _ in range(n_it):
+            q = q + sdtw_wavefront(q, yp, rp, lane=Q - 1)[:, :Q] * 0.0
+        return q
+
+    def sync(x):  # a 1-element fetch is the reliable axon fence
+        return float(np.asarray(x[0, 0]))
+
+    sync(chain(qb, ypad_d, rspad_d))  # compile + first touch
+    t0 = time.time()
+    sync(chain(qb, ypad_d, rspad_d))
+    dt = (time.time() - t0) / n_it
+    return B * Q * D / dt / 1e9
+
+
+def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: int = 1800):
+    """Time the RNA workload with ``--host-stages device`` (eventization
+    as the batched on-device pass of ops/events_device.py) in a child
+    process. Returns best-of-2 reads/s, or None with a reason string if
+    the leg fails/times out -- the side-by-side lands in BENCH_r0N either
+    way so the comparison vs the host path is honest."""
+    import subprocess
+
+    code = (
+        "import io, sys, time\n"
+        "import sigfish_tpu\n"
+        "sigfish_tpu.enable_xla_cache()\n"
+        "from sigfish_tpu.runtime.pipeline import Core, Options, run_dtw\n"
+        "blow5, k = sys.argv[1], int(sys.argv[2])\n"
+        "def ropt():\n"
+        "    return Options(rna=True, query_size=500, prefix_size=-1,\n"
+        "                   batch_size=k,\n"
+        "                   batch_size_bytes=20_000_000 * max(1, k // 512),\n"
+        "                   host_stages='device')\n"
+        "best = 0.0\n"
+        "for i in range(3):\n"  # pass 0 is the compile warmup
+        "    core = Core(sys.argv[3], blow5, ropt())\n"
+        "    t0 = time.time()\n"
+        "    run_dtw(core, io.StringIO())\n"
+        "    dt = time.time() - t0\n"
+        "    if i:\n"
+        "        best = max(best, core.total_reads / dt)\n"
+        "    core.close()\n"
+        "print('DEV_EVENTS_RPS', round(best, 1))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code, blow5, str(rna_k), RNA_FASTA],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    for line in r.stdout.splitlines():
+        if line.startswith("DEV_EVENTS_RPS"):
+            return float(line.split()[1]), None
+    tail = (r.stderr or "").strip().splitlines()
+    return None, (tail[-1][:200] if tail else f"rc={r.returncode}")
+
+
 def main() -> None:
     import sigfish_tpu
 
@@ -190,9 +282,36 @@ def main() -> None:
             dt = time.time() - t0
             rna_rps = max(rna_rps, core.total_reads / dt)
             core.close()
+
+        # host/device split: one --profile-cpu pass (drains each batch
+        # synchronously, so the stage timers are unoverlapped seconds)
+        popt = _ropt()
+        popt.profile = True
+        core = Core(RNA_FASTA, tmp, popt)
+        run_dtw(core, io.StringIO())
+        nb = max(1, -(-core.total_reads // rna_k))
+        rna_split = {
+            "parse": round(core.parse_time / nb, 3),
+            "event": round(core.event_time / nb, 3),
+            "normalise": round(core.normalise_time / nb, 3),
+            "dtw_drain": round(core.dtw_time / nb, 3),
+            "output": round(core.output_time / nb, 3),
+        }
+        core.close()
+
+        # --host-stages device side-by-side (PROFILE_RNA.md: the PCIe-
+        # host scaling path). Subprocess: isolates a worker crash or a
+        # compile blowup in that mode from the e2e numbers above.
+        rna_dev_rps, rna_dev_err = _rna_device_events_leg(tmp, rna_k)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+    try:
+        gcells = round(_kernel_gcells(), 1)
+    except Exception as e:  # never let the microbench sink the e2e bench
+        gcells = None
+        print(f"kernel microbench failed: {e!r}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -204,6 +323,17 @@ def main() -> None:
                 "rna_reads_per_s_1chip": round(rna_rps, 1),
                 "rna_vs_baseline": round(rna_rps / RNA_BASELINE_READS_PER_S, 2),
                 "rna_baseline_c_reads_per_s": RNA_BASELINE_READS_PER_S,
+                # wavefront-kernel rate at the production DNA shape
+                # (scripts/bench_kernel.py's headline combo)
+                "kernel_gcells_per_s": gcells,
+                # unoverlapped per-batch stage seconds from one
+                # --profile-cpu RNA pass (host = parse+event+normalise;
+                # dtw_drain = device submit->collect + backtrack+format)
+                "rna_stage_s_per_batch": rna_split,
+                # --host-stages device side-by-side (events on device)
+                "rna_reads_per_s_device_events": rna_dev_rps,
+                **({"rna_device_events_error": rna_dev_err}
+                   if rna_dev_err else {}),
             }
         )
     )

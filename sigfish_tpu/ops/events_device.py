@@ -9,6 +9,12 @@ the 0.3-0.4 s/batch of t-stat + detector host time moves onto the
 device. Gated behind ``--host-stages device`` (runtime/pipeline.py);
 the default stays on the host path.
 
+f64 is scoped: detect_events_batch wraps its jit in
+``jax.enable_x64(True)`` rather than requiring the global flag --
+global x64 makes every gridded Pallas kernel in the process fail to
+compile (Mosaic rejects the i64 index-map and roll-shift constants x64
+tracing produces), and the DTW engines share the process.
+
 Numerics contract (ref src/events.c:297-447, port semantics of
 ops/events.py which is fuzz-validated against the C binary):
 
@@ -56,8 +62,9 @@ def _require_x64() -> None:
     if not jax.config.jax_enable_x64:
         raise RuntimeError(
             "device eventization needs jax_enable_x64 (the t-stat chain is "
-            "f64 by contract, events.c:297-368); enable it before first "
-            "jax use -- the pipeline does this when --host-stages device"
+            "f64 by contract, events.c:297-368); detect_events_batch "
+            "enters jax.enable_x64(True) around its own trace -- call "
+            "through it, not _detect_events_jit directly"
         )
 
 
@@ -308,18 +315,23 @@ def detect_events_batch(
     E = max(64, S // 4)
     raw_unit = (range_.astype(np.float32) / digitisation.astype(np.float32))
     params = RNA_PARAMS if rna else DNA_PARAMS
-    peaks, counts, overflow, psum, psumsq, end_sum, end_sumsq = (
-        _detect_events_jit(
-            jnp.asarray(np.ascontiguousarray(signals.T)),
-            jnp.asarray(nsamples.astype(np.int32)),
-            jnp.asarray(raw_unit.astype(np.float32)),
-            jnp.asarray(offset.astype(np.float32)),
-            jnp.float32(params["window_length1"]),
-            jnp.float32(params["window_length2"]),
-            rna=rna,
-            E=E,
+    # x64 is scoped to THIS trace: enabling it process-wide would break
+    # every gridded Pallas kernel (Mosaic rejects the i64 index-map /
+    # roll-shift constants x64 tracing produces), and the DTW engines
+    # run in the same process
+    with jax.enable_x64(True):
+        peaks, counts, overflow, psum, psumsq, end_sum, end_sumsq = (
+            _detect_events_jit(
+                jnp.asarray(np.ascontiguousarray(signals.T)),
+                jnp.asarray(nsamples.astype(np.int32)),
+                jnp.asarray(raw_unit.astype(np.float32)),
+                jnp.asarray(offset.astype(np.float32)),
+                jnp.float32(params["window_length1"]),
+                jnp.float32(params["window_length2"]),
+                rna=rna,
+                E=E,
+            )
         )
-    )
     counts = np.asarray(counts)
     overflow = np.asarray(overflow)
     n_pk = int(counts.max(initial=0))

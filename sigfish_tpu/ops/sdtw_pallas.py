@@ -58,6 +58,14 @@ PAD = 1.0e18
 # stay a multiple of this.
 WF_TD = 256
 
+# Literals inside the kernel body must carry explicit 32-bit dtypes:
+# under jax_enable_x64 (the --host-stages device mode) plain Python
+# ints/floats trace as i64/f64, which Mosaic rejects (tpu.dynamic_rotate
+# wants an i32 shift; f64 constants have no TPU lowering).
+_SHIFT1 = np.int32(1)
+_BIG32 = np.float32(BIG)
+_HALF32 = np.float32(0.5)
+
 
 def _wavefront_tile(
     queries_ref, ypad_ref, rspad_ref, out_ref, state, *, td: int, lane: int,
@@ -101,17 +109,17 @@ def _wavefront_tile(
         # advance the reference/reset windows: lane i holds y[d - i]
         y_d = ypad_ref[0, t]
         rs_d = rspad_ref[0, t]
-        ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin, shift=1, axis=1))
-        rswin = jnp.where(lane_1 == 0, rs_d, pltpu.roll(rswin, shift=1, axis=1))
+        ywin = jnp.where(lane_1 == 0, y_d, pltpu.roll(ywin, shift=_SHIFT1, axis=1))
+        rswin = jnp.where(lane_1 == 0, rs_d, pltpu.roll(rswin, shift=_SHIFT1, axis=1))
 
         local = jnp.abs(q - ywin)  # (B, Q) via broadcast of (1, Q)
-        rs = (rswin > 0.5)  # (1, Q) broadcast
+        rs = (rswin > _HALF32)  # (1, Q) broadcast
         # up = roll(a1); diag = roll(a2) == b2 (carried, already rolled);
         # left = a1. The rs track-reset mask applies to left+diag (both
         # read column j-1 of the previous track); lane 0 needs no shift
         # fill because the free-start select below overwrites the row
-        up = pltpu.roll(a1, shift=1, axis=1)
-        ld = jnp.where(rs, BIG, jnp.minimum(a1, b2))
+        up = pltpu.roll(a1, shift=_SHIFT1, axis=1)
+        ld = jnp.where(rs, _BIG32, jnp.minimum(a1, b2))
         a_new = local + jnp.minimum(up, ld)
         a_new = jnp.where(fs_mask, local, a_new)  # free start row
 
@@ -157,7 +165,7 @@ def _wavefront_kernel(
     state = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:])
     state = _wavefront_tile(
         queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
-        unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
+        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32,
     )
     a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = state
 
@@ -203,7 +211,7 @@ def _wavefront_carry_kernel(
     state = (a1_out[:], a2_out[:], ywin_out[:], rswin_out[:])
     state = _wavefront_tile(
         queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
-        unroll=unroll, fs_mask=fsmask_ref[:] > 0.5,
+        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32,
     )
     a1_out[:], a2_out[:], ywin_out[:], rswin_out[:] = state
 

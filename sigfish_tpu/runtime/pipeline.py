@@ -125,9 +125,11 @@ class Core:
         self.opt = opt
         if opt.host_stages == "device":
             # the device eventizer's t-stat chain is f64 by contract
-            # (events.c:297-368); jit caches key on this config, so the
-            # f32 engine traces are unaffected
-            jax.config.update("jax_enable_x64", True)
+            # (events.c:297-368); detect_events_batch scopes x64 to its
+            # own trace (jax.enable_x64 context) -- enabling it globally
+            # breaks every gridded Pallas kernel in the process (Mosaic
+            # rejects the i64 index maps / roll shifts x64 produces)
+            pass
         elif opt.host_stages != "host":
             raise SystemExit(f"unknown --host-stages {opt.host_stages!r}")
         self.sf = Slow5File(slow5_path)
@@ -1052,39 +1054,62 @@ def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
     idx = [i for i, w in enumerate(works) if not w.skip]
     if not idx:
         return
-    # bucket S and B to powers of two: one compile per (S, B) bucket
-    S = max(works[i].rec.len_raw_signal for i in idx)
-    Sb = 1024
-    while Sb < S:
-        Sb *= 2
-    Bb = 64
-    while Bb < len(idx):
-        Bb *= 2
-    sig = np.zeros((Bb, Sb), np.int16)
-    ns = np.zeros(Bb, np.int32)
-    digi = np.full(Bb, 1.0)
-    off = np.zeros(Bb)
-    rng_pa = np.full(Bb, 1.0)
-    for r, i in enumerate(idx):
-        rec = works[i].rec
-        sig[r, : rec.len_raw_signal] = rec.raw_signal
-        ns[r] = rec.len_raw_signal
-        digi[r] = rec.digitisation
-        off[r] = rec.offset
-        rng_pa[r] = rec.range
-    tables, _ = detect_events_batch(sig, ns, digi, off, rng_pa, core.opt.rna)
-    for r, i in enumerate(idx):
-        w = works[i]
-        et = tables[r]
-        if et is None:  # device event-cap overflow: exact host fallback
-            _event_single(core, w)
-            continue
-        w.event_start = et.start
-        w.event_length = et.length
-        w.event_mean = et.mean.copy()
-        w.n_events = et.n
-        if et.n <= 0:
-            w.skip = True
+    # Reads are SORTED by signal length and chunked, and each chunk gets
+    # its own power-of-two (S, B) bucket:
+    # - the (B, S) i16 upload pads every read to the chunk's S bucket;
+    #   batch-max bucketing wastes ~6x link bytes on typical length
+    #   mixes (one long read drags 1023 short ones to its pad)
+    # - the t-stat chain holds several (S, B) f64 planes live, so
+    #   Sb*Bb beyond ~2^25 cells OOMs a 16 GB chip and kills the worker
+    #   outright (measured: B=1024 x S=131072 crashes, B=256 runs);
+    #   the per-chunk cap enforces that ceiling
+    # Compile count stays bounded: a handful of Sb buckets, one Bb each.
+    idx.sort(key=lambda i: works[i].rec.len_raw_signal)
+    c0 = 0
+    while c0 < len(idx):
+        S = works[idx[c0]].rec.len_raw_signal
+        Sb = 1024
+        while Sb < S:
+            Sb *= 2
+        max_b = max(64, (1 << 25) // Sb)
+        # extend while the NEXT read still fits this bucket
+        c1 = c0 + 1
+        while (
+            c1 < len(idx)
+            and c1 - c0 < max_b
+            and works[idx[c1]].rec.len_raw_signal <= Sb
+        ):
+            c1 += 1
+        chunk = idx[c0:c1]
+        c0 = c1
+        Bb = 64
+        while Bb < len(chunk):
+            Bb *= 2
+        sig = np.zeros((Bb, Sb), np.int16)
+        ns = np.zeros(Bb, np.int32)
+        digi = np.full(Bb, 1.0)
+        off = np.zeros(Bb)
+        rng_pa = np.full(Bb, 1.0)
+        for r, i in enumerate(chunk):
+            rec = works[i].rec
+            sig[r, : rec.len_raw_signal] = rec.raw_signal
+            ns[r] = rec.len_raw_signal
+            digi[r] = rec.digitisation
+            off[r] = rec.offset
+            rng_pa[r] = rec.range
+        tables, _ = detect_events_batch(sig, ns, digi, off, rng_pa, core.opt.rna)
+        for r, i in enumerate(chunk):
+            w = works[i]
+            et = tables[r]
+            if et is None:  # device event-cap overflow: exact host fallback
+                _event_single(core, w)
+                continue
+            w.event_start = et.start
+            w.event_length = et.length
+            w.event_mean = et.mean.copy()
+            w.n_events = et.n
+            if et.n <= 0:
+                w.skip = True
 
 
 def _backtrack_best(
