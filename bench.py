@@ -1,25 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark: DNA read-mapping throughput on one TPU chip.
+"""Benchmark: read-mapping throughput on one TPU chip.
 
-Workload: the 5 in-repo sp1_dna reads replicated to 3000 reads (written
-as a real BLOW5 via the package's writer), mapped against nCoV-2019 with
-default settings (q=250, both strands) -- the reference's own quick-test
-case at steady-state scale.
+Workload: the in-repo sp1_dna reads replicated to 3000 reads and the
+sequin_rna reads replicated to 1536 (written as real BLOW5 via the
+package's writer), mapped with default settings -- the reference's own
+quick-test cases at steady-state scale.
 
 Baseline: C sigfish (reference @ /root/reference, built with the same
 trained k-mer model via --kmer-model) on this host, `-t 8`:
-3000 reads / 116.5 s = 25.8 reads/s (re-measured idle 2026-08-16; the
-bench host has a single hardware core, so threads don't help the C
-build).
+  DNA: 3000 reads / 116.5 s = 25.8 reads/s (re-measured idle 2026-08-16)
+  RNA: 200 reads / 31.2 s  =  6.4 reads/s (measured idle 2026-08-17)
+(the bench host has a single hardware core, so threads don't help C).
 
-Prints one JSON line: reads/s through the full pipeline (BLOW5 decode ->
-events -> normalise -> batched sDTW on device + fused candidate top-5 ->
-backtrack -> PAF), excluding one warmup batch worth of compile time.
+BUDGET CONTRACT (round-4 restructure; VERDICT r3 item #1): the whole
+script runs under a hard wall-clock budget (SIGFISH_BENCH_BUDGET_S,
+default 540 s). Results are emitted INCREMENTALLY: after every completed
+leg the full cumulative JSON object is re-printed on its own line, so a
+SIGTERM/timeout at ANY point still leaves the latest measured numbers as
+the last JSON line of output. SIGTERM/SIGINT/SIGALRM are trapped and
+flush the current state before exiting. Optional legs (kernel
+microbench, profile split, --host-stages device side-by-side) run only
+if budget remains and are individually time-boxed.
 """
 
 import io
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
@@ -29,11 +36,43 @@ REF_BLOW5 = "/root/reference/test/sp1_dna.blow5"
 RNA_FASTA = "/root/reference/test/rnasequin_sequences_2.4.fa"
 RNA_BLOW5 = "/root/reference/test/sequin_rna.blow5"
 BASELINE_READS_PER_S = 25.8  # C sigfish -t 8, this host (see module docstring)
-# C sigfish --rna -q 500 -p -1 on the 200-read replicated sequin set,
-# this host: 200 reads / 31.2 s (measured idle 2026-08-17)
 RNA_BASELINE_READS_PER_S = 6.4
 N_COPIES = 600  # 5 reads x 600 = 3000 reads
-RNA_N_COPIES = 192  # 8 reads x 192 = 1536 reads (3 batches of 512)
+RNA_N_COPIES = 192  # 8 reads x 192 = 1536 reads
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("SIGFISH_BENCH_BUDGET_S", "540"))
+DEADLINE = T0 + BUDGET_S
+
+# cumulative result object; re-emitted after every completed leg
+STATE = {
+    "metric": "dna_reads_per_s_1chip",
+    "value": 0.0,
+    "unit": "reads/s",
+    "vs_baseline": 0.0,
+}
+
+
+def emit() -> None:
+    """Print the full cumulative state as one JSON line (flushed)."""
+    print(json.dumps(STATE), flush=True)
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
+
+
+def _flush_and_exit(signum, frame):  # noqa: ARG001
+    STATE["interrupted_by_signal"] = signum
+    emit()
+    os._exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+    signal.signal(_sig, _flush_and_exit)
+# backstop: even if a leg hangs past its own deadline check, the alarm
+# flushes whatever has been measured and exits cleanly
+signal.alarm(int(BUDGET_S) + 10)
 
 
 def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIES) -> int:
@@ -60,14 +99,13 @@ def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIE
     return len(recs) * n_copies
 
 
-def _device_preflight(timeout_s: int = 900) -> bool:
+def _device_preflight(timeout_s: float) -> bool:
     """Probe the accelerator in a subprocess with a hard timeout.
 
     The axon device transport can block indefinitely when the service is
-    down (observed: jax.devices() hangs >500 s), which would hang the
-    whole bench; the legitimate first-touch stall has measured up to
-    ~434 s, hence the generous budget. Returns False if no device
-    responds in time.
+    down (observed: jax.devices() hangs >500 s); the legitimate
+    first-touch stall has measured up to ~434 s. Returns False if no
+    device responds in time.
 
     Fast path: the device client dials a local relay on :8082 -- a
     refused TCP connect means the relay process itself is down, so fail
@@ -89,7 +127,7 @@ def _device_preflight(timeout_s: int = 900) -> bool:
     )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
+            [sys.executable, "-c", code], timeout=max(30, timeout_s),
             capture_output=True,
         )
         return r.returncode == 0
@@ -145,12 +183,12 @@ def _kernel_gcells() -> float:
     return B * Q * D / dt / 1e9
 
 
-def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: int = 1800):
+def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: float):
     """Time the RNA workload with ``--host-stages device`` (eventization
     as the batched on-device pass of ops/events_device.py) in a child
-    process. Returns best-of-2 reads/s, or None with a reason string if
-    the leg fails/times out -- the side-by-side lands in BENCH_r0N either
-    way so the comparison vs the host path is honest."""
+    process. Returns (reads/s, None) or (None, reason) -- the
+    side-by-side lands in BENCH_r0N either way so the comparison vs the
+    host path is honest."""
     import subprocess
 
     code = (
@@ -165,7 +203,7 @@ def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: int = 1800):
         "                   batch_size_bytes=20_000_000 * max(1, k // 512),\n"
         "                   host_stages='device')\n"
         "best = 0.0\n"
-        "for i in range(3):\n"  # pass 0 is the compile warmup
+        "for i in range(2):\n"  # pass 0 is the compile warmup
         "    core = Core(sys.argv[3], blow5, ropt())\n"
         "    t0 = time.time()\n"
         "    run_dtw(core, io.StringIO())\n"
@@ -178,7 +216,7 @@ def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: int = 1800):
     try:
         r = subprocess.run(
             [sys.executable, "-c", code, blow5, str(rna_k), RNA_FASTA],
-            timeout=timeout_s, capture_output=True, text=True,
+            timeout=max(45, timeout_s), capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
         return None, "timeout"
@@ -193,72 +231,70 @@ def main() -> None:
     import sigfish_tpu
 
     sigfish_tpu.enable_xla_cache()
-    if not _device_preflight():
-        print(
-            json.dumps(
-                {
-                    "metric": "dna_reads_per_s_1chip",
-                    "value": 0.0,
-                    "unit": "reads/s",
-                    "vs_baseline": 0.0,
-                    "error": "accelerator unreachable (axon device probe "
-                    "timed out; service-side outage)",
-                }
-            )
+    # preflight gets most of the budget (a cold axon first-touch has
+    # measured ~434 s) but always leaves ~60 s to run + flush the legs
+    if not _device_preflight(remaining() - 60):
+        STATE["error"] = (
+            "accelerator unreachable (axon device probe timed out; "
+            "service-side outage)"
         )
+        emit()
         sys.exit(0)
     from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
+    # ---- DNA e2e leg (always runs; emits as soon as measured) ----
     tmp = tempfile.mktemp(suffix=".blow5")
     try:
-        n_reads = build_workload(tmp)
+        build_workload(tmp)
         # Batch size: the pipeline's output is invariant to K (like the
         # reference's -K), but larger batches amortize the per-batch
         # device-link round trips; SIGFISH_BENCH_K sweeps it.
         bench_k = int(os.environ.get("SIGFISH_BENCH_K", "512"))
-        opt = Options(
-            batch_size=bench_k,
-            batch_size_bytes=20_000_000 * max(1, bench_k // 512),
-        )
-        core = Core(REF_FASTA, tmp, opt)
 
-        # warmup: first batch pays device compile
-        blobs = core.sf.read_batch(opt.batch_size, opt.batch_size_bytes)
+        def _dopt() -> Options:
+            return Options(
+                batch_size=bench_k,
+                batch_size_bytes=20_000_000 * max(1, bench_k // 512),
+            )
+
+        # warmup: one batch pays device compile + first touch
+        core = Core(REF_FASTA, tmp, _dopt())
+        blobs = core.sf.read_batch(bench_k, 20_000_000 * max(1, bench_k // 512))
         process_batch(core, blobs)
         core.close()
 
-        # steady state through the production double-buffered loop; best
-        # of three passes (XLA/compile-cache warmth varies run to run,
-        # and the remote device link shows multi-second latency spikes --
-        # observed 7 s on a fetch that is 0.17 s steady-state)
+        # steady state through the production double-buffered loop.
+        # One timed pass is representative (persistent XLA cache); a
+        # second pass guards against the remote link's multi-second
+        # latency spikes (observed 7 s on a 0.17 s steady-state fetch)
+        # and costs ~1.5 s -- run it unless the budget is nearly gone.
         rps = 0.0
-        for _ in range(3):
-            core = Core(
-                REF_FASTA,
-                tmp,
-                Options(
-                    batch_size=bench_k,
-                    batch_size_bytes=20_000_000 * max(1, bench_k // 512),
-                ),
-            )
+        for p in range(2):
+            if p and remaining() < 45:
+                break
+            core = Core(REF_FASTA, tmp, _dopt())
             t0 = time.time()
-            sink = io.StringIO()
-            run_dtw(core, sink)
-            dt = time.time() - t0
-            rps = max(rps, core.total_reads / dt)
+            run_dtw(core, io.StringIO())
+            rps = max(rps, core.total_reads / (time.time() - t0))
             core.close()
+        STATE["value"] = round(rps, 1)
+        STATE["vs_baseline"] = round(rps / BASELINE_READS_PER_S, 2)
+        emit()
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
 
-    # RNA: the harder workload (160 tracks, R=156k events, polyA
-    # autodetect) -- test.sh:61-71's case at steady-state scale
+    # ---- RNA e2e leg ----
     tmp = tempfile.mktemp(suffix=".blow5")
     try:
+        if remaining() < 40:
+            STATE["rna_skipped"] = "budget exhausted before RNA leg"
+            emit()
+            return
         build_workload(tmp, RNA_BLOW5, RNA_N_COPIES)
         # K=1024 measured ~7% over 512 on-chip (2026-08-19 sweep):
-        # fewer batch boundaries amortize the device-link tail; output is
-        # K-invariant (like the reference's -K).
+        # fewer batch boundaries amortize the device-link tail; output
+        # is K-invariant (like the reference's -K).
         rna_k = int(os.environ.get("SIGFISH_BENCH_K_RNA", "1024"))
 
         def _ropt() -> Options:
@@ -274,69 +310,68 @@ def main() -> None:
         process_batch(core, blobs)  # warmup: compile + axon first touch
         core.close()
         rna_rps = 0.0
-        for _ in range(3):
+        for p in range(2):
+            if p and remaining() < 45:
+                break
             core = Core(RNA_FASTA, tmp, _ropt())
             t0 = time.time()
-            sink = io.StringIO()
-            run_dtw(core, sink)
-            dt = time.time() - t0
-            rna_rps = max(rna_rps, core.total_reads / dt)
+            run_dtw(core, io.StringIO())
+            rna_rps = max(rna_rps, core.total_reads / (time.time() - t0))
             core.close()
+        STATE["rna_reads_per_s_1chip"] = round(rna_rps, 1)
+        STATE["rna_vs_baseline"] = round(rna_rps / RNA_BASELINE_READS_PER_S, 2)
+        STATE["rna_baseline_c_reads_per_s"] = RNA_BASELINE_READS_PER_S
+        emit()  # <- headline complete: DNA + RNA both captured
 
-        # host/device split: one --profile-cpu pass (drains each batch
-        # synchronously, so the stage timers are unoverlapped seconds)
-        popt = _ropt()
-        popt.profile = True
-        core = Core(RNA_FASTA, tmp, popt)
-        run_dtw(core, io.StringIO())
-        nb = max(1, -(-core.total_reads // rna_k))
-        rna_split = {
-            "parse": round(core.parse_time / nb, 3),
-            "event": round(core.event_time / nb, 3),
-            "normalise": round(core.normalise_time / nb, 3),
-            "dtw_drain": round(core.dtw_time / nb, 3),
-            "output": round(core.output_time / nb, 3),
-        }
-        core.close()
+        # ---- optional legs, in value order, each time-boxed ----
 
-        # --host-stages device side-by-side (PROFILE_RNA.md: the PCIe-
-        # host scaling path). Subprocess: isolates a worker crash or a
-        # compile blowup in that mode from the e2e numbers above.
-        rna_dev_rps, rna_dev_err = _rna_device_events_leg(tmp, rna_k)
+        # wavefront-kernel rate at the production DNA shape
+        # (scripts/bench_kernel.py's headline combo)
+        if remaining() > 75:
+            try:
+                STATE["kernel_gcells_per_s"] = round(_kernel_gcells(), 1)
+            except Exception as e:  # never let the microbench sink the bench
+                print(f"kernel microbench failed: {e!r}", file=sys.stderr)
+            emit()
+
+        # unoverlapped per-batch stage seconds from one --profile-cpu
+        # RNA pass (host = parse+event+normalise; dtw_drain = device
+        # submit->collect + backtrack+format)
+        if remaining() > 60:
+            popt = _ropt()
+            popt.profile = True
+            core = Core(RNA_FASTA, tmp, popt)
+            run_dtw(core, io.StringIO())
+            nb = max(1, -(-core.total_reads // rna_k))
+            STATE["rna_stage_s_per_batch"] = {
+                "parse": round(core.parse_time / nb, 3),
+                "event": round(core.event_time / nb, 3),
+                "normalise": round(core.normalise_time / nb, 3),
+                "dtw_drain": round(core.dtw_time / nb, 3),
+                "output": round(core.output_time / nb, 3),
+            }
+            core.close()
+            emit()
+
+        # --host-stages device side-by-side (events on device;
+        # PROFILE_RNA.md: the PCIe-host scaling path). Subprocess:
+        # isolates a worker crash or a compile blowup in that mode
+        # from the e2e numbers above. Time-boxed to the leftover
+        # budget minus a flush margin.
+        if remaining() > 90:
+            rna_dev_rps, rna_dev_err = _rna_device_events_leg(
+                tmp, rna_k, remaining() - 20
+            )
+            STATE["rna_reads_per_s_device_events"] = rna_dev_rps
+            if rna_dev_err:
+                STATE["rna_device_events_error"] = rna_dev_err
+            emit()
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
 
-    try:
-        gcells = round(_kernel_gcells(), 1)
-    except Exception as e:  # never let the microbench sink the e2e bench
-        gcells = None
-        print(f"kernel microbench failed: {e!r}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "dna_reads_per_s_1chip",
-                "value": round(rps, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(rps / BASELINE_READS_PER_S, 2),
-                "rna_reads_per_s_1chip": round(rna_rps, 1),
-                "rna_vs_baseline": round(rna_rps / RNA_BASELINE_READS_PER_S, 2),
-                "rna_baseline_c_reads_per_s": RNA_BASELINE_READS_PER_S,
-                # wavefront-kernel rate at the production DNA shape
-                # (scripts/bench_kernel.py's headline combo)
-                "kernel_gcells_per_s": gcells,
-                # unoverlapped per-batch stage seconds from one
-                # --profile-cpu RNA pass (host = parse+event+normalise;
-                # dtw_drain = device submit->collect + backtrack+format)
-                "rna_stage_s_per_batch": rna_split,
-                # --host-stages device side-by-side (events on device)
-                "rna_reads_per_s_device_events": rna_dev_rps,
-                **({"rna_device_events_error": rna_dev_err}
-                   if rna_dev_err else {}),
-            }
-        )
-    )
+    STATE["bench_wall_s"] = round(time.time() - T0, 1)
+    emit()
 
 
 if __name__ == "__main__":

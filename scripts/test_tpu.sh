@@ -50,6 +50,29 @@ byte_identity() {
 }
 leg "TPU PAF byte-identical to CPU engine (DNA + RNA)" byte_identity
 
+# --host-stages device on real hardware: TPU f64 is emulated (~1e-15
+# relative error, ops/events_device.py:36-44), so byte parity vs the
+# host path is NOT expected here. The hardware contract is (a) the same
+# accuracy gates as the host path and (b) near-total agreement with the
+# host-path output, measured by eval'ing device-path PAF against
+# host-path PAF (the correct% there IS the agreement rate).
+dev_events() {
+  python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+      /root/reference/test/sp1_dna.blow5 --host-stages device \
+      2>/dev/null > /tmp/tpu_dna_dev.paf || return 1
+  gate dna-dev-events /root/reference/test/sp1_dna.minimap2.paf \
+      /tmp/tpu_dna_dev.paf 85 || return 1
+  python -m sigfish_tpu.cli dtw /root/reference/test/rnasequin_sequences_2.4.fa \
+      /root/reference/test/sequin_rna.blow5 --rna -q 500 -p -1 \
+      --host-stages device 2>/dev/null > /tmp/tpu_rna_dev.paf || return 1
+  gate rna-dev-events /root/reference/test/sequin_rna.minimap2.paf \
+      /tmp/tpu_rna_dev.paf 75 || return 1
+  # agreement vs the host path (host-path PAF as the truthset)
+  gate dna-dev-vs-host /tmp/tpu_dna.paf /tmp/tpu_dna_dev.paf 95 || return 1
+  gate rna-dev-vs-host /tmp/tpu_rna.paf /tmp/tpu_rna_dev.paf 95
+}
+leg "--host-stages device on TPU (gates + host-path agreement)" dev_events
+
 # ------------------------------------------------ kernel micro-legs
 leg "wavefront vs scan + exact scalar oracle" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp

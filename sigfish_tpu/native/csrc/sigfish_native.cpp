@@ -880,10 +880,14 @@ static int64_t zstd_depress_tl(const uint8_t* src, int64_t src_len,
     unsigned long long csz = ZSTD_getFrameContentSize(src, (size_t)src_len);
     size_t need;
     if (csz != ZSTD_CONTENTSIZE_UNKNOWN && csz != ZSTD_CONTENTSIZE_ERROR) {
-        if (csz > (1ull << 31)) return -1;  // untrusted frame header
+        if (csz > (256ull << 20)) return -1;  // untrusted frame header
         need = (size_t)csz + 16;
     } else {
+        // clamp the initial guess to the same 256 MB cap the growth
+        // loop enforces: a crafted src_len must not drive a multi-GB
+        // first malloc before the cap is ever consulted
         need = (size_t)src_len * 4 + 4096;
+        if (need > (256u << 20)) need = (256u << 20);
     }
     while (true) {
         if (need > *buf_cap) {
@@ -1083,7 +1087,10 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
                 sdec = libdeflate_alloc_decompressor();
                 if (!sdec) { free(heap); return -1; }
             }
+            // initial guess clamped to the growth loop's 256 MB cap
+            // (untrusted len_raw must not force a multi-GB first malloc)
             size_t need = (size_t)len_raw * 4 + 4096;
+            if (need > (256u << 20)) need = (256u << 20);
             dlen = -1;
             while (true) {
                 if (need > sbuf_cap) {

@@ -265,8 +265,12 @@ def _detect_events_jit(sig_t, nsamples, raw_unit, offset, w1f, w2f,
                        rna: bool, E: int):
     """sig_t: (S, B) i16 time-major; w1f/w2f: traced f32 scalars holding
     the window lengths (see _tstat for why they must not be constants).
-    Returns (starts, lengths, means, stdvs, counts, overflow) with
-    (B, E+1) event arrays."""
+    Returns (peaks, counts, overflow, psum, psumsq, end_sum, end_sumsq):
+    (B, E) peak boundary indices, (B,) event counts, (B,) overflow
+    flags, the (B, E) prefix sum/sumsq gathered at the peak boundaries,
+    and the (B,) totals at n_r. Event assembly (start/length/mean/stdv)
+    happens on the host in detect_events_batch -- see the comment below
+    on why the f32 variance chain must not run under XLA."""
     _require_x64()
     S, B = sig_t.shape
     params = RNA_PARAMS if rna else DNA_PARAMS

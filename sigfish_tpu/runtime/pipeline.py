@@ -933,6 +933,11 @@ def _finish_normalise(core: Core, w: ReadWork, start_idx: int, end_idx: int) -> 
 # path always remains the fallback and the --profile-cpu stage mode)
 _NO_PREFIX_EVENTS = bool(os.environ.get("SIGFISH_TPU_NO_PREFIX_EVENTS"))
 
+# --host-stages device: ceiling on padded (Sb, Bb) eventization plane
+# cells. The t-stat chain holds several (S, B) f64 planes live; ~2^25
+# cells is the measured safe bound on a 16 GB chip (2^27 crashes).
+_DEV_EVENT_CELL_CAP = 1 << 25
+
 
 def _prepare_read_prefix(core: Core, w: ReadWork) -> ReadWork | None:
     """Prefix-bounded parse->events->normalise for one read.
@@ -1052,6 +1057,17 @@ def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
     from ..ops.events_device import detect_events_batch
 
     idx = [i for i, w in enumerate(works) if not w.skip]
+    # Ultra-long reads whose padded signal ALONE exceeds the ~2^25-cell
+    # device ceiling (plus the E=S/4 peaks buffer) go to the exact host
+    # path: even a Bb=1 launch would OOM the chip on them.
+    long_idx = [
+        i for i in idx if works[i].rec.len_raw_signal > _DEV_EVENT_CELL_CAP
+    ]
+    for i in long_idx:
+        _event_single(core, works[i])
+    if long_idx:
+        drop = set(long_idx)
+        idx = [i for i in idx if i not in drop]
     if not idx:
         return
     # Reads are SORTED by signal length and chunked, and each chunk gets
@@ -1071,7 +1087,10 @@ def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
         Sb = 1024
         while Sb < S:
             Sb *= 2
-        max_b = max(64, (1 << 25) // Sb)
+        # Bucket batch cap: Sb*Bb beyond the cell ceiling OOMs the chip,
+        # so for long reads max_b drops all the way to 1 (no 64-read
+        # floor -- a 4M-sample read at Bb=64 is 2^28 cells, a crash).
+        max_b = max(1, _DEV_EVENT_CELL_CAP // Sb)
         # extend while the NEXT read still fits this bucket
         c1 = c0 + 1
         while (
@@ -1082,7 +1101,10 @@ def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
             c1 += 1
         chunk = idx[c0:c1]
         c0 = c1
-        Bb = 64
+        # Bb floor of 64 bounds the compile count for the common short-
+        # read buckets; for large Sb the floor drops with max_b so the
+        # padded plane never exceeds the cell ceiling.
+        Bb = min(64, max_b)
         while Bb < len(chunk):
             Bb *= 2
         sig = np.zeros((Bb, Sb), np.int16)
