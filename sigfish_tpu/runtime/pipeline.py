@@ -107,6 +107,12 @@ class Options:
     # eventizer (ops/events_device.py) -- the scaling path for
     # PCIe-attached hosts where the host stages bound RNA throughput
     host_stages: str = "host"
+    # reference-axis chunking on the single-device wavefront path:
+    # 0 = auto (chunk once the diag score buffer would exceed
+    # ops/chunked_ref.CHUNK_AUTO_COLS columns -- multi-megabase contigs),
+    # -1 = never, > 0 = force, with ~this many diagonals per segment
+    # (tests use small values to exercise the fold on tiny references)
+    ref_chunk: int = 0
 
 
 @dataclass
@@ -250,6 +256,7 @@ class Core:
         self.wf_interpret = self.use_pallas and jax.default_backend() != "tpu"
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
         self._wf_cache: dict[int, tuple] = {}
+        self._wf_chunk_cache: dict[tuple, tuple] = {}
 
         self.tracks = tracks
         self.track_sizes = [t.size for t in tracks]
@@ -376,6 +383,7 @@ class Core:
         )
         self.u_dev = jnp.asarray(u_map)
         self.valid_dev = jnp.asarray(valid_map)
+        self.valid_host = valid_map
 
         # counters (ref core_t)
         self.total_reads = 0
@@ -452,6 +460,14 @@ class Core:
             rows = handle["clip_rows"]
             ts[rows] = cs[: rows.size]
             tp[rows] = cp[: rows.size]
+        elif "clip_host" in handle:
+            # chunked-ref mode: clipped reads came from the exact host
+            # per-read path (possibly as thread-pool futures)
+            for i, r in enumerate(handle["clip_rows"]):
+                res = handle["clip_host"][i]
+                s5, p5 = res.result() if hasattr(res, "result") else res
+                ts[r] = s5
+                tp[r] = p5
         return ts, tp
 
     def _clip_pass(
@@ -595,6 +611,11 @@ class Core:
             self._clip_pass(handle, lr, qlens, qlp_dev, R, W)
             return handle
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
+        if self.use_pallas and self.opt.ref_chunk >= 0:
+            from ..ops.chunked_ref import CHUNK_AUTO_COLS
+
+            if self.opt.ref_chunk > 0 or R + qb.shape[1] > CHUNK_AUTO_COLS:
+                return self._chunked_candidates_submit(qb, qlens, clip_rows)
         if self.use_pallas:
             Q = qb.shape[1]
             if Q not in self._wf_cache:
@@ -654,6 +675,58 @@ class Core:
             handle, scores, qlens, qlens_dev, R, W,
             diag_lane=W - 1 if self.use_pallas else None,
         )
+        return handle
+
+    def _chunked_candidates_submit(
+        self, qb: np.ndarray, qlens: np.ndarray, clip_rows: np.ndarray
+    ) -> dict:
+        """Reference-axis chunked wavefront (ops/chunked_ref.py): the
+        carry kernel streams Ds-diagonal segments through one lax.scan,
+        folding each into a per-window (min, first-pos) accumulator, so
+        a multi-megabase contig never materializes the (B, D) score
+        buffer (10 GB at 5M columns / B=512 -- past v5e HBM; the
+        reference's own O(q*r) malloc is the same cliff, sigfish.c:873).
+        Bit-identical to the one-shot kernel + device_window_top5.
+
+        Clipped reads (qlen != W) use per-read window grids that don't
+        fold across segments -- they run the exact host per-read path
+        (_clipped_top5) on the thread pool, overlapped with device time
+        (rare: short-read semantics, sigfish.c:457-461)."""
+        from ..ops.chunked_ref import (
+            prepare_chunked_inputs,
+            sdtw_wavefront_chunked_top5,
+        )
+
+        W = self.opt.query_size
+        B, Q = qb.shape
+        clip_host = None
+        if clip_rows.size:
+            queries = [qb[r, : int(qlens[r])].copy() for r in clip_rows]
+            if self._pool is not None:
+                clip_host = [
+                    self._pool.submit(self._clipped_top5, q) for q in queries
+                ]
+            else:
+                clip_host = [self._clipped_top5(q) for q in queries]
+        key = (Q, self.opt.ref_chunk)
+        if key not in self._wf_chunk_cache:
+            target = self.opt.ref_chunk if self.opt.ref_chunk > 0 else 32768
+            yps, rps, vs, _, nwin_tot = prepare_chunked_inputs(
+                self.ref_cat, self.reset, self.valid_host, Q, W, target=target
+            )
+            self._wf_chunk_cache[key] = (
+                jnp.asarray(yps), jnp.asarray(rps), jnp.asarray(vs), nwin_tot
+            )
+        yps, rps, vs, nwin_tot = self._wf_chunk_cache[key]
+        packed = sdtw_wavefront_chunked_top5(
+            jnp.asarray(qb), yps, rps, vs,
+            lane=W - 1, W=W, nwin_tot=nwin_tot, interpret=self.wf_interpret,
+        )
+        _start_host_copy(packed)
+        handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
+        if clip_rows.size:
+            handle["clip_rows"] = clip_rows
+            handle["clip_host"] = clip_host
         return handle
 
     def _native_candidates_submit(
