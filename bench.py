@@ -58,6 +58,12 @@ def emit() -> None:
     print(json.dumps(STATE), flush=True)
 
 
+def mark(leg: str) -> None:
+    """Record the wall-clock offset at which a leg completed -- a
+    timeout artifact then shows exactly where the budget went."""
+    STATE.setdefault("leg_done_at_s", {})[leg] = round(time.time() - T0, 1)
+
+
 def remaining() -> float:
     return DEADLINE - time.time()
 
@@ -240,12 +246,14 @@ def main() -> None:
         )
         emit()
         sys.exit(0)
+    mark("preflight")
     from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
     # ---- DNA e2e leg (always runs; emits as soon as measured) ----
     tmp = tempfile.mktemp(suffix=".blow5")
     try:
         build_workload(tmp)
+        mark("dna_workload")
         # Batch size: the pipeline's output is invariant to K (like the
         # reference's -K), but larger batches amortize the per-batch
         # device-link round trips; SIGFISH_BENCH_K sweeps it.
@@ -262,6 +270,7 @@ def main() -> None:
         blobs = core.sf.read_batch(bench_k, 20_000_000 * max(1, bench_k // 512))
         process_batch(core, blobs)
         core.close()
+        mark("dna_warmup")
 
         # steady state through the production double-buffered loop.
         # One timed pass is representative (persistent XLA cache); a
@@ -279,6 +288,7 @@ def main() -> None:
             core.close()
         STATE["value"] = round(rps, 1)
         STATE["vs_baseline"] = round(rps / BASELINE_READS_PER_S, 2)
+        mark("dna_e2e")
         emit()
     finally:
         if os.path.exists(tmp):
@@ -309,6 +319,7 @@ def main() -> None:
         blobs = core.sf.read_batch(ropt.batch_size, ropt.batch_size_bytes)
         process_batch(core, blobs)  # warmup: compile + axon first touch
         core.close()
+        mark("rna_warmup")
         rna_rps = 0.0
         for p in range(2):
             if p and remaining() < 45:
@@ -321,6 +332,7 @@ def main() -> None:
         STATE["rna_reads_per_s_1chip"] = round(rna_rps, 1)
         STATE["rna_vs_baseline"] = round(rna_rps / RNA_BASELINE_READS_PER_S, 2)
         STATE["rna_baseline_c_reads_per_s"] = RNA_BASELINE_READS_PER_S
+        mark("rna_e2e")
         emit()  # <- headline complete: DNA + RNA both captured
 
         # ---- optional legs, in value order, each time-boxed ----
@@ -332,6 +344,7 @@ def main() -> None:
                 STATE["kernel_gcells_per_s"] = round(_kernel_gcells(), 1)
             except Exception as e:  # never let the microbench sink the bench
                 print(f"kernel microbench failed: {e!r}", file=sys.stderr)
+            mark("kernel")
             emit()
 
         # unoverlapped per-batch stage seconds from one --profile-cpu

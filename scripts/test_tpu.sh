@@ -73,6 +73,21 @@ dev_events() {
 }
 leg "--host-stages device on TPU (gates + host-path agreement)" dev_events
 
+# chunked reference axis (ops/chunked_ref.py): forced tiny segments on
+# the real chip must be byte-identical to the one-shot kernel path
+chunked_ref() {
+  python -m sigfish_tpu.cli dtw /root/reference/test/nCoV-2019.reference.fasta \
+      /root/reference/test/sp1_dna.blow5 --ref-chunk 8000 \
+      2>/dev/null > /tmp/tpu_dna_chunked.paf || return 1
+  cmp /tmp/tpu_dna.paf /tmp/tpu_dna_chunked.paf
+}
+leg "chunked-ref PAF byte-identical to one-shot (DNA, forced)" chunked_ref
+
+# multi-megabase contig on one chip (the HBM-cliff case the one-shot
+# buffer cannot fit; planted-read recovery >= 90%)
+leg "bigref: 5.2M-column contig on one chip" \
+    python scripts/test_bigref.py --mbases 2.6 --reads 64
+
 # ------------------------------------------------ kernel micro-legs
 leg "wavefront vs scan + exact scalar oracle" python - <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
