@@ -21,6 +21,17 @@ the last JSON line of output. SIGTERM/SIGINT/SIGALRM are trapped and
 flush the current state before exiting. Optional legs (kernel
 microbench, profile split, --host-stages device side-by-side) run only
 if budget remains and are individually time-boxed.
+
+Cold-path fit (measured 2026-08-20): the axon first-touch stalls a
+fresh process's first transfer ~200 s (observed 0.8-434 s) -- paid ONCE,
+in-process, overlapped with the workload builds (the old subprocess
+preflight paid it twice). The e2e legs run the wavefront kernel at
+td=128 (SIGFISH_TPU_WF_TD): the Q=512 RNA body at td=256 takes >250 s
+of cold Mosaic compile vs ~half at 128, and both chemistries are
+host-bound so the ~5% kernel-rate cost never reaches the e2e number.
+Cold worst case ~ first-touch (200) + DNA compile (~100) + RNA compile
+(~150) + passes -- inside the default budget; warm runs leave room for
+every optional leg.
 """
 
 import io
@@ -74,11 +85,15 @@ def _flush_and_exit(signum, frame):  # noqa: ARG001
     os._exit(0)
 
 
-for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
-    signal.signal(_sig, _flush_and_exit)
-# backstop: even if a leg hangs past its own deadline check, the alarm
-# flushes whatever has been measured and exits cleanly
-signal.alarm(int(BUDGET_S) + 10)
+def _arm_budget() -> None:
+    """Install the flush-on-signal handlers + the alarm backstop: even
+    if a leg hangs past its own deadline check, the alarm flushes
+    whatever has been measured and exits cleanly. Called from main(),
+    NOT at import -- importing bench (e.g. to reuse build_workload in a
+    probe script) must not plant a timebomb in the host process."""
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(_sig, _flush_and_exit)
+    signal.alarm(int(BUDGET_S) + 10)
 
 
 def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIES) -> int:
@@ -105,40 +120,44 @@ def build_workload(path: str, src_path: str = REF_BLOW5, n_copies: int = N_COPIE
     return len(recs) * n_copies
 
 
-def _device_preflight(timeout_s: float) -> bool:
-    """Probe the accelerator in a subprocess with a hard timeout.
-
-    The axon device transport can block indefinitely when the service is
-    down (observed: jax.devices() hangs >500 s); the legitimate
-    first-touch stall has measured up to ~434 s. Returns False if no
-    device responds in time.
-
-    Fast path: the device client dials a local relay on :8082 -- a
-    refused TCP connect means the relay process itself is down, so fail
-    in seconds instead of paying the full probe timeout."""
+def _relay_up() -> bool:
+    """Fast-fail when the local axon relay is down: the device client
+    dials 127.0.0.1:8082, so a refused TCP connect means the service is
+    dead -- report in seconds instead of stalling to the alarm."""
     import socket
-    import subprocess
 
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        try:
-            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
-                pass
-        except OSError:
-            return False
-
-    code = (
-        "import jax, numpy as np, jax.numpy as jnp;"
-        "x = jnp.asarray(np.arange(8, dtype=np.float32));"
-        "print(np.asarray(x[:8]) is not None)"
-    )
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=max(30, timeout_s),
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return True
+    except OSError:
         return False
+
+
+def _first_touch_thread():
+    """Pay the device first-touch ONCE, in-process, on a daemon thread.
+
+    The axon transport blocks a fresh process's first transfer for
+    0.8-434 s (measured); round 3's bench paid that stall TWICE (a
+    subprocess probe + the main process) and timed out. Overlapping the
+    single in-process touch with the host-side workload builds recovers
+    most of it. Returns (thread, event): the event is set once a
+    1-element round trip has completed."""
+    import threading
+
+    done = threading.Event()
+
+    def _poke():
+        import jax.numpy as jnp
+        import numpy as np
+
+        float(np.asarray(jnp.zeros((1,), jnp.float32) + 1.0)[0])
+        done.set()
+
+    t = threading.Thread(target=_poke, daemon=True, name="first-touch")
+    t.start()
+    return t, done
 
 
 def _kernel_gcells() -> float:
@@ -236,24 +255,43 @@ def _rna_device_events_leg(blow5: str, rna_k: int, timeout_s: float):
 def main() -> None:
     import sigfish_tpu
 
+    _arm_budget()
     sigfish_tpu.enable_xla_cache()
-    # preflight gets most of the budget (a cold axon first-touch has
-    # measured ~434 s) but always leaves ~60 s to run + flush the legs
-    if not _device_preflight(remaining() - 60):
+    # kernel tile width for the e2e legs: td=128 halves the cold Mosaic
+    # compile of the fully-unrolled body (the Q=512 RNA kernel at
+    # td=256 measured >250 s -- alone enough to blow the budget);
+    # the ~5% kernel-rate cost is invisible e2e (both chemistries are
+    # host-bound, device time fully overlapped)
+    os.environ.setdefault("SIGFISH_TPU_WF_TD", "128")
+    STATE["wf_td"] = int(os.environ["SIGFISH_TPU_WF_TD"])
+    if not _relay_up():
         STATE["error"] = (
-            "accelerator unreachable (axon device probe timed out; "
+            "accelerator unreachable (local axon relay refused TCP; "
             "service-side outage)"
         )
         emit()
         sys.exit(0)
-    mark("preflight")
+    # first-touch in-process, overlapped with the workload builds below
+    _touch_t, _touch_done = _first_touch_thread()
     from sigfish_tpu.runtime.pipeline import Core, Options, process_batch, run_dtw
 
     # ---- DNA e2e leg (always runs; emits as soon as measured) ----
     tmp = tempfile.mktemp(suffix=".blow5")
+    tmp_rna = tempfile.mktemp(suffix=".blow5")
     try:
         build_workload(tmp)
-        mark("dna_workload")
+        build_workload(tmp_rna, RNA_BLOW5, RNA_N_COPIES)
+        mark("workloads")
+        # leave enough budget to run + flush at least the DNA leg once
+        # the device answers; a stall past that is a service outage
+        if not _touch_done.wait(timeout=max(30.0, remaining() - 90)):
+            STATE["error"] = (
+                "accelerator unreachable (first-touch transfer stalled; "
+                "axon service outage)"
+            )
+            emit()
+            sys.exit(0)
+        mark("first_touch")
         # Batch size: the pipeline's output is invariant to K (like the
         # reference's -K), but larger batches amortize the per-batch
         # device-link round trips; SIGFISH_BENCH_K sweeps it.
@@ -290,22 +328,21 @@ def main() -> None:
         STATE["vs_baseline"] = round(rps / BASELINE_READS_PER_S, 2)
         mark("dna_e2e")
         emit()
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
 
-    # ---- RNA e2e leg ----
-    tmp = tempfile.mktemp(suffix=".blow5")
-    try:
+        # ---- RNA e2e leg (workload already built above) ----
         if remaining() < 40:
             STATE["rna_skipped"] = "budget exhausted before RNA leg"
             emit()
             return
-        build_workload(tmp, RNA_BLOW5, RNA_N_COPIES)
-        # K=1024 measured ~7% over 512 on-chip (2026-08-19 sweep):
-        # fewer batch boundaries amortize the device-link tail; output
-        # is K-invariant (like the reference's -K).
-        rna_k = int(os.environ.get("SIGFISH_BENCH_K_RNA", "1024"))
+        # K=512 re-measured FASTER than 1024 on 2026-08-20 (628 vs 457
+        # r/s warm best-of-3; the r03 sweep said the opposite before the
+        # drain-overlap landed) AND keeps every batch in the same
+        # 512-bucket jit shapes as the DNA leg -- K=1024's 1536-read
+        # workload leaves a 512-read tail batch whose shapes the warmup
+        # never compiled, which is exactly what sank the first r04
+        # rehearsal's RNA number (378 r/s with a mid-pass compile).
+        # Output is K-invariant (like the reference's -K).
+        rna_k = int(os.environ.get("SIGFISH_BENCH_K_RNA", "512"))
 
         def _ropt() -> Options:
             return Options(
@@ -315,16 +352,16 @@ def main() -> None:
             )
 
         ropt = _ropt()
-        core = Core(RNA_FASTA, tmp, ropt)
+        core = Core(RNA_FASTA, tmp_rna, ropt)
         blobs = core.sf.read_batch(ropt.batch_size, ropt.batch_size_bytes)
-        process_batch(core, blobs)  # warmup: compile + axon first touch
+        process_batch(core, blobs)  # warmup: pays the Q=512 compile
         core.close()
         mark("rna_warmup")
         rna_rps = 0.0
         for p in range(2):
             if p and remaining() < 45:
                 break
-            core = Core(RNA_FASTA, tmp, _ropt())
+            core = Core(RNA_FASTA, tmp_rna, _ropt())
             t0 = time.time()
             run_dtw(core, io.StringIO())
             rna_rps = max(rna_rps, core.total_reads / (time.time() - t0))
@@ -338,8 +375,11 @@ def main() -> None:
         # ---- optional legs, in value order, each time-boxed ----
 
         # wavefront-kernel rate at the production DNA shape
-        # (scripts/bench_kernel.py's headline combo)
-        if remaining() > 75:
+        # (scripts/bench_kernel.py's headline combo). Runs at the e2e
+        # legs' td (wf_td in this JSON); its D differs from the
+        # pipeline's aligned tracks, so a cold cache pays one more
+        # ~100 s Mosaic compile -- hence the higher guard.
+        if remaining() > 150:
             try:
                 STATE["kernel_gcells_per_s"] = round(_kernel_gcells(), 1)
             except Exception as e:  # never let the microbench sink the bench
@@ -353,7 +393,7 @@ def main() -> None:
         if remaining() > 60:
             popt = _ropt()
             popt.profile = True
-            core = Core(RNA_FASTA, tmp, popt)
+            core = Core(RNA_FASTA, tmp_rna, popt)
             run_dtw(core, io.StringIO())
             nb = max(1, -(-core.total_reads // rna_k))
             STATE["rna_stage_s_per_batch"] = {
@@ -368,20 +408,22 @@ def main() -> None:
 
         # --host-stages device side-by-side (events on device;
         # PROFILE_RNA.md: the PCIe-host scaling path). Subprocess:
-        # isolates a worker crash or a compile blowup in that mode
-        # from the e2e numbers above. Time-boxed to the leftover
-        # budget minus a flush margin.
-        if remaining() > 90:
+        # isolates a worker crash or a compile blowup in that mode from
+        # the e2e numbers above -- and pays its OWN axon first-touch
+        # (~200 s measured), hence the high guard. Time-boxed to the
+        # leftover budget minus a flush margin.
+        if remaining() > 300:
             rna_dev_rps, rna_dev_err = _rna_device_events_leg(
-                tmp, rna_k, remaining() - 20
+                tmp_rna, rna_k, remaining() - 20
             )
             STATE["rna_reads_per_s_device_events"] = rna_dev_rps
             if rna_dev_err:
                 STATE["rna_device_events_error"] = rna_dev_err
             emit()
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        for p in (tmp, tmp_rna):
+            if os.path.exists(p):
+                os.unlink(p)
 
     STATE["bench_wall_s"] = round(time.time() - T0, 1)
     emit()

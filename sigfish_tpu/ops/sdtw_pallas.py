@@ -55,8 +55,13 @@ PAD = 1.0e18
 # time: measured on v5e at (B=512, Q=256, nCoV) 128 -> 222 Gcell/s,
 # 256 -> 234 Gcell/s, 512 -> compile blows past 10 min. Everything that
 # feeds the kernel (segment alignment in the ring/tracks shards) must
-# stay a multiple of this.
-WF_TD = 256
+# stay a multiple of this. SIGFISH_TPU_WF_TD overrides the default at
+# import (bench.py sets 128: the Q=512 RNA body at td=256 takes >250 s
+# of cold Mosaic compile -- past the driver's bench budget -- while the
+# ~5% kernel-rate cost is invisible e2e because both chemistries are
+# host-bound; every consumer derives its alignment from this constant,
+# so the override stays self-consistent).
+WF_TD = int(__import__("os").environ.get("SIGFISH_TPU_WF_TD", "256"))
 
 # Literals inside the kernel body must carry explicit 32-bit dtypes:
 # under jax_enable_x64 (the --host-stages device mode) plain Python
