@@ -76,7 +76,13 @@ def _meanf(x: np.ndarray) -> float:
 
 
 def _rm_outlier(x: np.ndarray) -> np.ndarray:
-    return np.clip(x.astype(np.float64), OUTLIER_MIN, OUTLIER_MAX)
+    # == np.clip(x, MIN, MAX) (clip is max-then-min for MIN <= MAX) but
+    # in-place on the one f64 copy -- np.clip's ufunc wrapper showed up
+    # in the RNA host profile at 512 calls/batch
+    y = x.astype(np.float64)
+    np.maximum(y, OUTLIER_MIN, out=y)
+    np.minimum(y, OUTLIER_MAX, out=y)
+    return y
 
 
 def _rolling_mean(x: np.ndarray, w: int) -> np.ndarray:
