@@ -137,3 +137,50 @@ def test_device_events_overflow_flags_not_crashes():
         assert tables[0] is None
     else:
         assert tables[0] is not None and tables[0].n >= 1
+
+
+def test_event_batch_device_long_read_chunk_sizing(monkeypatch):
+    """ADVICE r3 (medium): once a read's padded plane would exceed the
+    device cell ceiling, the 64-read bucket floor must drop (Bb down to
+    1), and a read whose signal ALONE exceeds the ceiling must route to
+    the exact host path -- with every read's event table identical to
+    _event_single either way. Shrinks the ceiling so the test exercises
+    the long-read routing with kilobyte signals."""
+    import types
+
+    from sigfish_tpu.io.blow5 import Slow5Record
+    from sigfish_tpu.runtime import pipeline as pl
+
+    monkeypatch.setattr(pl, "_DEV_EVENT_CELL_CAP", 1 << 14)
+    rng = np.random.default_rng(7)
+    # mix: short (shared 64-floor bucket), mid (max_b == 1 bucket:
+    # Sb=16384 -> Bb=1), ultra-long (> ceiling -> host path)
+    lens = [900, 1100, 1300, 9000, 12000, 17000, 20000, 700]
+    works = []
+    for i, n in enumerate(lens):
+        n_ev = max(8, n // 40)
+        lv = rng.normal(90.0, 12.0, n_ev)
+        dw = rng.integers(10, 70, n_ev)
+        x = np.repeat(lv, dw)[:n]
+        x = np.pad(x, (0, max(0, n - x.size)), mode="edge")
+        sig = np.clip(np.rint(x * 8192.0 / 1400.0 - 5.0 + rng.normal(0, 1.0, n)),
+                      -30000, 30000).astype(np.int16)
+        w = pl.ReadWork()
+        w.rec = Slow5Record(
+            read_id=f"r{i}", read_group=0, digitisation=8192.0, offset=5.0,
+            range=1400.0, sampling_rate=4000.0, raw_signal=sig,
+        )
+        works.append(w)
+    core = types.SimpleNamespace(opt=types.SimpleNamespace(rna=False))
+
+    pl._event_batch_device(core, works)
+
+    for i, n in enumerate(lens):
+        ref = pl.ReadWork()
+        ref.rec = works[i].rec
+        pl._event_single(core, ref)
+        w = works[i]
+        assert w.n_events == ref.n_events, f"read {i} (len {n})"
+        np.testing.assert_array_equal(w.event_start, ref.event_start)
+        np.testing.assert_array_equal(w.event_length, ref.event_length)
+        np.testing.assert_array_equal(w.event_mean, ref.event_mean)
