@@ -73,6 +73,30 @@ dev_events() {
 }
 leg "--host-stages device on TPU (gates + host-path agreement)" dev_events
 
+# TPU engine vs the C binary DIRECTLY (not just vs the CPU engine), on
+# option combos past the defaults -- exercises SAM/ss tags, from-end
+# windowing, K/B batch bounds and debug-break through the wavefront
+# kernel + device top-5 with the shared trained TSV. Oracle + TSVs
+# bootstrap idempotently (same chain parity_oracle.sh uses).
+tpu_oracle() {
+  bash "$(dirname "$0")/build_oracle.sh" >/dev/null 2>&1 || return 1
+  local FA=/root/reference/test/nCoV-2019.reference.fasta
+  local BL=/root/reference/test/sp1_dna.blow5
+  local TSV=/tmp/sigfish_models/r9.4_dna_6mer.tsv
+  local OR=/tmp/refbuild/sigfish
+  local flags
+  for flags in "--sam" "--from-end" "-K 2 -B 100K" "--debug-break 1"; do
+    $OR dtw $FA $BL --kmer-model $TSV $flags -t 1 2>/dev/null \
+        > /tmp/or.out || return 1
+    python -m sigfish_tpu.cli dtw $FA $BL --kmer-model $TSV $flags \
+        2>/dev/null > /tmp/tpu_or.out || return 1
+    cmp -s /tmp/or.out /tmp/tpu_or.out \
+        || { echo "  diff at: $flags"; return 1; }
+    echo "  byte-identical: $flags"
+  done
+}
+leg "TPU engine byte-identical to the C binary (option combos)" tpu_oracle
+
 # chunked reference axis (ops/chunked_ref.py): forced tiny segments on
 # the real chip must be byte-identical to the one-shot kernel path
 chunked_ref() {
