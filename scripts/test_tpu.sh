@@ -94,6 +94,20 @@ tpu_oracle() {
         || { echo "  diff at: $flags"; return 1; }
     echo "  byte-identical: $flags"
   done
+  # RNA through the same direct diff: polyA autodetect + reversal +
+  # 3'-truncation coordinates + ss-tag mirroring on the Q=512 kernel
+  local RFA=/root/reference/test/rnasequin_sequences_2.4.fa
+  local RBL=/root/reference/test/sequin_rna.blow5
+  local RTSV=/tmp/sigfish_models/r9.4_rna_5mer.tsv
+  for flags in "--sam" ""; do
+    $OR dtw $RFA $RBL --kmer-model $RTSV --rna -q 500 -p -1 $flags -t 1 \
+        2>/dev/null > /tmp/or.out || return 1
+    python -m sigfish_tpu.cli dtw $RFA $RBL --kmer-model $RTSV \
+        --rna -q 500 -p -1 $flags 2>/dev/null > /tmp/tpu_or.out || return 1
+    cmp -s /tmp/or.out /tmp/tpu_or.out \
+        || { echo "  diff at: rna $flags"; return 1; }
+    echo "  byte-identical: rna ${flags:-default}"
+  done
 }
 leg "TPU engine byte-identical to the C binary (option combos)" tpu_oracle
 
