@@ -81,7 +81,13 @@ def remaining() -> float:
 
 def _flush_and_exit(signum, frame):  # noqa: ARG001
     STATE["interrupted_by_signal"] = signum
-    emit()
+    # os.write, NOT print: a signal landing while the main thread is
+    # inside an emit() print would make buffered-stdout reentrant and
+    # raise RuntimeError -- losing the flush this handler exists for
+    try:
+        os.write(1, (json.dumps(STATE) + "\n").encode())
+    except OSError:
+        pass
     os._exit(0)
 
 
@@ -332,6 +338,7 @@ def main() -> None:
         # ---- RNA e2e leg (workload already built above) ----
         if remaining() < 40:
             STATE["rna_skipped"] = "budget exhausted before RNA leg"
+            STATE["bench_wall_s"] = round(time.time() - T0, 1)
             emit()
             return
         # K=512 re-measured FASTER than 1024 on 2026-08-20 (628 vs 457

@@ -114,9 +114,11 @@ def main() -> None:
                     # sustained = steady state AFTER the cold start
                     # (first-touch + compile); total/wall buried a 224 s
                     # cold start in a 241 s run and reported 207 r/s for
-                    # a ~2,960 r/s steady state
+                    # a ~2,960 r/s steady state. The warmup batch's
+                    # reads are excluded from the numerator too -- they
+                    # were processed inside the cold window
                     "reads_per_s_sustained": round(
-                        total / max(wall - cold, 1e-9), 1
+                        core.total_reads / max(wall - cold, 1e-9), 1
                     ),
                     "reads_per_s_incl_cold": round(total / wall, 1),
                     "cold_start_s": round(cold, 1),

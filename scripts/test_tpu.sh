@@ -7,6 +7,11 @@
 # unattended hardware-recovery session.
 set -u
 FAIL=0
+# later legs compare against PAFs produced by earlier legs -- stale
+# files from a previous run must never masquerade as this build's
+rm -f /tmp/tpu_dna.paf /tmp/tpu_rna.paf /tmp/cpu_dna.paf /tmp/cpu_rna.paf \
+      /tmp/tpu_dna_dev.paf /tmp/tpu_rna_dev.paf /tmp/tpu_dna_chunked.paf \
+      /tmp/or.out /tmp/tpu_or.out
 leg() {  # leg NAME CMD...
   local name="$1"; shift
   if "$@"; then echo "PASS leg: $name"; else echo "FAIL leg: $name"; FAIL=1; fi

@@ -72,7 +72,7 @@ def make_dtw_parser(prog: str = "sigfish-tpu dtw") -> argparse.ArgumentParser:
     p.add_argument("--accel", type=_yes_no, default=None, metavar="yes|no", help="use the TPU engine [auto]")
     p.add_argument("--engine", choices=["pallas", "scan", "native"], default=None, help="sDTW engine [auto: pallas on TPU, native C++ on CPU]")
     p.add_argument("--host-stages", choices=["host", "device"], default="host", help="where eventization runs: host (native C++, default) or device (batched JAX pass; the PCIe-host scaling path)")
-    p.add_argument("--ref-chunk", type=int, default=0, metavar="INT", help="reference-axis chunking on the wavefront engine: 0 auto (chunk past ~1M columns), -1 never, >0 force with ~INT diagonals per segment [0]")
+    p.add_argument("--ref-chunk", type=int, default=0, metavar="INT", help="reference-axis chunking on the wavefront engine: 0 auto (chunk past ~1M columns), -1 never, >0 force segments of ~INT diagonals (quantized up to a multiple of lcm(query-size, kernel tile), e.g. min 32000 at the defaults) [0]")
     p.add_argument("-a", "--sam", action="store_true", help="output in SAM format")
     p.add_argument("--pore", choices=["r9", "r10", "rna004"], default=None, help="pore chemistry [auto]")
     p.add_argument("--ckpt", type=int, default=512, help="DP checkpoint stride (device engine) [512]")

@@ -900,10 +900,16 @@ static int64_t zstd_depress_tl(const uint8_t* src, int64_t src_len,
         size_t r = ZSTD_decompress(*buf, *buf_cap, src, (size_t)src_len);
         if (!ZSTD_isError(r)) return (int64_t)r;
         // growth-loop only when the frame header didn't carry a size
-        // (then the only recoverable error is dst-too-small); corrupt
-        // input terminates at the 256 MB cap
-        if (csz != ZSTD_CONTENTSIZE_UNKNOWN || need > (256u << 20)) return -1;
+        // (then the only recoverable error is dst-too-small). 256 MB is
+        // the HARD buffer ceiling on both paths: a declared size above
+        // it is rejected up front, and an undeclared frame that still
+        // fails at a full 256 MB buffer is rejected here -- the two
+        // paths agree (previously the loop doubled past the cap once,
+        // allocating up to 512 MB for undeclared frames)
+        if (csz != ZSTD_CONTENTSIZE_UNKNOWN) return -1;
+        if (need >= (256u << 20)) return -1;
         need *= 2;
+        if (need > (256u << 20)) need = (256u << 20);
     }
 }
 
@@ -1104,8 +1110,13 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
                 enum libdeflate_result rc = libdeflate_zlib_decompress(
                     sdec, mem + off, (size_t)len_raw, sbuf, sbuf_cap, &got);
                 if (rc == LIBDEFLATE_SUCCESS) { dlen = (int64_t)got; break; }
-                if (rc == LIBDEFLATE_INSUFFICIENT_SPACE && need <= (256u << 20)) {
+                // 256 MB is the HARD ceiling: still-too-small at a full
+                // 256 MB buffer fails (the doubling is clamped so the
+                // allocation never exceeds the cap it advertises)
+                if (rc == LIBDEFLATE_INSUFFICIENT_SPACE &&
+                    need < (256u << 20)) {
                     need *= 2;
+                    if (need > (256u << 20)) need = (256u << 20);
                     continue;
                 }
                 free(heap);

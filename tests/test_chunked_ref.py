@@ -129,24 +129,39 @@ def test_chunked_pipeline_paf_byte_parity(tmp_path):
                     raw_signal=sig,
                 )
             )
-        # a short read: ~120 events -> qlen < query_size (clip route)
+        # a short read: ~100 events -> qlen < query_size (clip route)
         w.write_record(
             Slow5Record(
                 read_id="clip0", read_group=0, digitisation=8192.0,
                 offset=10.0, range=1400.0, sampling_rate=4000.0,
-                raw_signal=signal_from(40, 120),
+                raw_signal=signal_from(40, 100),
             )
         )
 
+    # query_size=64: the forced segment width is lcm(W, td) (window
+    # grid x kernel grid), so at the default W=250/td=256 ANY forced
+    # value quantizes up to 32,000 diagonals and this reference runs as
+    # a single segment -- silently skipping the multi-segment fold the
+    # test exists for. W=64 gives lcm=256 -> ~25 segments here.
+    W = 64
+
     def run(ref_chunk):
-        opt = Options(engine="pallas", num_thread=2, ref_chunk=ref_chunk)
+        opt = Options(engine="pallas", num_thread=2, ref_chunk=ref_chunk,
+                      query_size=W)
         core = Core(str(fa), str(bl), opt)
         blobs = core.sf.read_batch(512, 10**9)
         lines, _ = process_batch(core, blobs)
         core.close()
         return lines
 
+    # the forced-256 run must actually fold across >= 2 segments
+    from sigfish_tpu.ops.chunked_ref import chunk_segment_diags
+
+    Ds = chunk_segment_diags(W, target=256)
+    R_cols = 2 * (n_bases + 1 - k)
+    assert R_cols + W > 2 * Ds, "reference too small to force multi-segment"
+
     base = run(-1)       # one-shot kernel path
-    chunked = run(256)   # forced tiny segments
+    chunked = run(256)   # forced tiny segments (multi-segment fold)
     assert base == chunked
     assert any(line.split("\t")[0] == "clip0" for line in base)
