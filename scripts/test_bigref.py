@@ -70,17 +70,25 @@ def main() -> int:
     truths: dict[str, int] = {}
     bl = tempfile.NamedTemporaryFile(suffix=".blow5", delete=False)
     bl.close()
+    n_clip = 0
     with Slow5Writer(bl.name, header_data=None) as w:
         for i in range(args.reads):
             start = int(rng.integers(0, n_bases - 800))
-            truths[f"r{i}"] = start
+            # every 4th read is SHORT (~150 events after the prefix ->
+            # qlen < 250): exercises the chunked path's clipped-read
+            # route (one-shot kernel sub-batch / host fallback) at the
+            # full reference scale, not just full-length reads
+            n_ev = 200 if i % 4 == 3 else 450
+            n_clip += n_ev < 300
+            truths[f"r{i}"] = (start, n_ev)
             w.write_record(
                 Slow5Record(
                     read_id=f"r{i}", read_group=0, digitisation=8192.0,
                     offset=10.0, range=1400.0, sampling_rate=4000.0,
-                    raw_signal=signal_from(start, 450),
+                    raw_signal=signal_from(start, n_ev),
                 )
             )
+    print(f"[bigref] {n_clip}/{args.reads} reads clipped (short)", flush=True)
 
     # pallas explicitly: the chunked path is a wavefront-engine feature
     # (off-TPU this runs the interpreter -- tiny --mbases only)
@@ -110,8 +118,8 @@ def main() -> int:
         f = line.split("\t")
         rid, strand, st, end = f[0], f[4], int(f[7]), int(f[8])
         n_map += 1
-        t_st = truths[rid]
-        t_end = t_st + 450 + k - 1
+        t_st, t_nev = truths[rid]
+        t_end = t_st + t_nev + k - 1
         if strand == "+" and min(abs(st - t_st), abs(end - t_end)) < 100:
             n_ok += 1
     print(

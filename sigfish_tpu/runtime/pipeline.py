@@ -460,9 +460,18 @@ class Core:
             rows = handle["clip_rows"]
             ts[rows] = cs[: rows.size]
             tp[rows] = cp[: rows.size]
+        elif "clip_dev" in handle:
+            # chunked-ref mode: clipped reads rode the one-shot kernel +
+            # device clip pass as small sub-batches (nested handles)
+            for grp, sub in handle["clip_dev"]:
+                cs, cp = self.sdtw_candidates_collect(sub)
+                ts[grp] = cs[: grp.size]
+                tp[grp] = cp[: grp.size]
         elif "clip_host" in handle:
-            # chunked-ref mode: clipped reads came from the exact host
-            # per-read path (possibly as thread-pool futures)
+            # chunked-ref mode fallback: clipped reads from the exact
+            # host per-read path (possibly as thread-pool futures) --
+            # only when even one one-shot row would bust the buffer
+            # budget (D beyond ~270M columns)
             for i, r in enumerate(handle["clip_rows"]):
                 res = handle["clip_host"][i]
                 s5, p5 = res.result() if hasattr(res, "result") else res
@@ -509,13 +518,17 @@ class Core:
 
     def sdtw_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray,
-        n_live: int | None = None,
+        n_live: int | None = None, force_oneshot: bool = False,
     ) -> dict:
         """Dispatch the device computation asynchronously; returns a
         handle for sdtw_candidates_collect. Lets the caller overlap the
         next batch's host stages with this batch's device time. n_live =
         number of leading real rows (the rest are bucket padding; the
-        native engine skips them, device engines get them for free)."""
+        native engine skips them, device engines get them for free).
+        force_oneshot bypasses the chunked-reference routing -- used by
+        the chunked path itself to serve its clipped sub-batches through
+        the one-shot kernel + device clip pass (the small row count
+        makes the (rows, D) buffer affordable even when (B, D) is not)."""
         if self.engine == "native" and self.mesh is None:
             return self._native_candidates_submit(qb, qlens, n_live)
         if self.mesh is not None and self.mesh_mode == "ring":
@@ -611,7 +624,7 @@ class Core:
             self._clip_pass(handle, lr, qlens, qlp_dev, R, W)
             return handle
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
-        if self.use_pallas and self.opt.ref_chunk >= 0:
+        if self.use_pallas and self.opt.ref_chunk >= 0 and not force_oneshot:
             from ..ops.chunked_ref import CHUNK_AUTO_COLS
 
             if self.opt.ref_chunk > 0 or R + qb.shape[1] > CHUNK_AUTO_COLS:
@@ -619,8 +632,15 @@ class Core:
         if self.use_pallas:
             Q = qb.shape[1]
             if Q not in self._wf_cache:
-                self._wf_cache[Q] = prepare_wavefront_inputs(
+                ypad_h, rspad_h, D = prepare_wavefront_inputs(
                     self.ref_cat, self.reset, Q
+                )
+                # device-resident: re-uploading the (1, D) pads per call
+                # is invisible for small refs but costs ~2 s/call over
+                # the remote link at a 5M-column reference (the chunked
+                # path's clip sub-batches hit this every batch)
+                self._wf_cache[Q] = (
+                    jnp.asarray(ypad_h), jnp.asarray(rspad_h), D
                 )
             ypad, rspad, D = self._wf_cache[Q]
             if clip_rows.size:
@@ -689,25 +709,60 @@ class Core:
         Bit-identical to the one-shot kernel + device_window_top5.
 
         Clipped reads (qlen != W) use per-read window grids that don't
-        fold across segments -- they run the exact host per-read path
-        (_clipped_top5) on the thread pool, overlapped with device time
-        (rare: short-read semantics, sigfish.c:457-461)."""
+        fold across segments. They are served by the ONE-SHOT kernel +
+        device clip pass on a small sub-batch: a (rows, D) score buffer
+        is affordable precisely because clipped reads are few (32 rows x
+        5.2M columns = 0.7 GB where the full (512, D) buffer is 10.7 GB),
+        and the existing clip machinery is exact + oracle-verified.
+        Groups are sized to _CLIP_ONESHOT_BYTES; only a batch whose
+        clipped rows exceed every group budget falls back to the exact
+        host per-read DP (_clipped_top5) on the thread pool -- the
+        reference's own cost model (sigfish.c:873), kept as the
+        unconditionally-correct backstop."""
         from ..ops.chunked_ref import (
             prepare_chunked_inputs,
             sdtw_wavefront_chunked_top5,
         )
+        from ..ops.sdtw_pallas import WF_TD
 
         W = self.opt.query_size
         B, Q = qb.shape
         clip_host = None
+        clip_dev = None
         if clip_rows.size:
-            queries = [qb[r, : int(qlens[r])].copy() for r in clip_rows]
-            if self._pool is not None:
-                clip_host = [
-                    self._pool.submit(self._clipped_top5, q) for q in queries
-                ]
+            R_cols = self.ref_cat.shape[0]
+            D_one = ((R_cols + Q + WF_TD - 1) // WF_TD) * WF_TD
+            # per-group row cap: the one-shot scores (rows, D) plus the
+            # clip pass's (rows, R) slice both live at once
+            max_rows = int(_CLIP_ONESHOT_BYTES // (2 * 4 * D_one))
+            pw = 1
+            while pw * 2 <= max_rows:
+                pw *= 2
+            if max_rows >= 1:
+                clip_dev = []
+                for o in range(0, clip_rows.size, pw):
+                    grp = clip_rows[o : o + pw]
+                    bc = 1
+                    while bc < grp.size:
+                        bc *= 2
+                    qb_c = np.zeros((bc, Q), dtype=qb.dtype)
+                    qb_c[: grp.size] = qb[grp]
+                    qlens_c = np.full(bc, W, dtype=qlens.dtype)
+                    qlens_c[: grp.size] = qlens[grp]
+                    sub = self.sdtw_candidates_submit(
+                        qb_c, qlens_c, np.zeros((bc, Q), np.float32),
+                        force_oneshot=True,
+                    )
+                    clip_dev.append((grp, sub))
             else:
-                clip_host = [self._clipped_top5(q) for q in queries]
+                queries = [qb[r, : int(qlens[r])].copy() for r in clip_rows]
+                if self._pool is not None:
+                    clip_host = [
+                        self._pool.submit(self._clipped_top5, q)
+                        for q in queries
+                    ]
+                else:
+                    clip_host = [self._clipped_top5(q) for q in queries]
         key = (Q, self.opt.ref_chunk)
         if key not in self._wf_chunk_cache:
             target = self.opt.ref_chunk if self.opt.ref_chunk > 0 else 32768
@@ -726,7 +781,10 @@ class Core:
         handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
         if clip_rows.size:
             handle["clip_rows"] = clip_rows
-            handle["clip_host"] = clip_host
+            if clip_dev is not None:
+                handle["clip_dev"] = clip_dev
+            else:
+                handle["clip_host"] = clip_host
         return handle
 
     def _native_candidates_submit(
@@ -1005,6 +1063,13 @@ def _finish_normalise(core: Core, w: ReadWork, start_idx: int, end_idx: int) -> 
 # kill switch for the prefix-bounded eventization fast path (exact full
 # path always remains the fallback and the --profile-cpu stage mode)
 _NO_PREFIX_EVENTS = bool(os.environ.get("SIGFISH_TPU_NO_PREFIX_EVENTS"))
+
+# chunked-ref mode: byte budget for serving a batch's CLIPPED reads
+# through the one-shot kernel (scores (rows, D) + the clip pass's
+# (rows, R) slice live together). 2 GB => 32-row groups at a 5.2M-column
+# reference -- small next to v5e's 16 GB HBM, huge next to the host
+# per-read DP it replaces (~1.3 s/read at that scale).
+_CLIP_ONESHOT_BYTES = 2 << 30
 
 # --host-stages device: ceiling on padded (Sb, Bb) eventization plane
 # cells. The t-stat chain holds several (S, B) f64 planes live; ~2^25

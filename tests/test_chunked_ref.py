@@ -91,11 +91,14 @@ def test_chunked_top5_byte_parity(seed):
     assert np.array_equal(wp, gp), f"positions differ: {wp} vs {gp}"
 
 
-def test_chunked_pipeline_paf_byte_parity(tmp_path):
+@pytest.mark.parametrize("clip_budget", [None, 0])
+def test_chunked_pipeline_paf_byte_parity(tmp_path, clip_budget, monkeypatch):
     """Full pipeline on a synthetic DNA workload: --ref-chunk forced
     (tiny segments) vs the one-shot path, PAF byte-identical. Includes
-    a clipped read (fewer events than prefix+query) to exercise the
-    host per-read clip route."""
+    a clipped read (fewer events than prefix+query): with the default
+    budget it rides the one-shot-kernel clip sub-batch (clip_dev);
+    clip_budget=0 forces the exact host per-read fallback (clip_host) --
+    both must produce the same bytes."""
     from sigfish_tpu.io.blow5 import Slow5Record, Slow5Writer
     from sigfish_tpu.models.genref import kmer_ranks, _seq_bytes
     from sigfish_tpu.models.pore_model import MODEL_ID_DNA_R9, load_builtin_model
@@ -153,6 +156,11 @@ def test_chunked_pipeline_paf_byte_parity(tmp_path):
         lines, _ = process_batch(core, blobs)
         core.close()
         return lines
+
+    if clip_budget is not None:
+        from sigfish_tpu.runtime import pipeline as pl
+
+        monkeypatch.setattr(pl, "_CLIP_ONESHOT_BYTES", clip_budget)
 
     # the forced-256 run must actually fold across >= 2 segments
     from sigfish_tpu.ops.chunked_ref import chunk_segment_diags
