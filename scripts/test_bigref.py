@@ -67,7 +67,7 @@ def main() -> int:
         raw = np.rint(pa * 8192.0 / 1400.0 - 10.0)
         return np.clip(raw, -32000, 32000).astype(np.int16)
 
-    truths: dict[str, int] = {}
+    truths: dict[str, tuple[int, int]] = {}
     bl = tempfile.NamedTemporaryFile(suffix=".blow5", delete=False)
     bl.close()
     n_clip = 0

@@ -461,10 +461,22 @@ class Core:
             ts[rows] = cs[: rows.size]
             tp[rows] = cp[: rows.size]
         elif "clip_dev" in handle:
-            # chunked-ref mode: clipped reads rode the one-shot kernel +
-            # device clip pass as small sub-batches (nested handles)
-            for grp, sub in handle["clip_dev"]:
+            # chunked-ref mode: clipped reads ride the one-shot kernel +
+            # device clip pass as small sub-batches. Dispatch is
+            # SEQUENTIAL: group i+1 submits only after group i's results
+            # are fetched (and its device buffers released), bounding
+            # concurrent HBM to ~one group regardless of clipped count.
+            for ent in handle["clip_dev"]:
+                grp, sub, qb_c, qlens_c = ent
+                if sub is None:
+                    bc = qb_c.shape[0]
+                    sub = self.sdtw_candidates_submit(
+                        qb_c, qlens_c, np.zeros((bc, qb_c.shape[1]),
+                                                np.float32),
+                        force_oneshot=True,
+                    )
                 cs, cp = self.sdtw_candidates_collect(sub)
+                ent[1] = ent[2] = ent[3] = None  # release device refs
                 ts[grp] = cs[: grp.size]
                 tp[grp] = cp[: grp.size]
         elif "clip_host" in handle:
@@ -732,13 +744,22 @@ class Core:
         if clip_rows.size:
             R_cols = self.ref_cat.shape[0]
             D_one = ((R_cols + Q + WF_TD - 1) // WF_TD) * WF_TD
-            # per-group row cap: the one-shot scores (rows, D) plus the
-            # clip pass's (rows, R) slice both live at once
-            max_rows = int(_CLIP_ONESHOT_BYTES // (2 * 4 * D_one))
+            # per-group row cap: a dispatched group holds THREE rows-by-D
+            # scale buffers at peak -- the one-shot scores (rows, D), the
+            # clip pass's eager row-take copy (rows, D), and its column
+            # slice (rows, R)
+            max_rows = int(_CLIP_ONESHOT_BYTES // (3 * 4 * D_one))
             pw = 1
             while pw * 2 <= max_rows:
                 pw *= 2
             if max_rows >= 1:
+                # Groups are dispatched ONE AT A TIME: only the first is
+                # submitted here (it overlaps this batch's remaining host
+                # work); the rest dispatch lazily in collect, each after
+                # the previous group's buffers are consumed -- an eager
+                # loop would hold every group's (rows, D) allocation
+                # concurrently (16 groups x 0.7 GB at 512 clipped reads
+                # on a 5.2M-column reference = HBM OOM).
                 clip_dev = []
                 for o in range(0, clip_rows.size, pw):
                     grp = clip_rows[o : o + pw]
@@ -749,11 +770,14 @@ class Core:
                     qb_c[: grp.size] = qb[grp]
                     qlens_c = np.full(bc, W, dtype=qlens.dtype)
                     qlens_c[: grp.size] = qlens[grp]
-                    sub = self.sdtw_candidates_submit(
-                        qb_c, qlens_c, np.zeros((bc, Q), np.float32),
-                        force_oneshot=True,
-                    )
-                    clip_dev.append((grp, sub))
+                    sub = None
+                    if o == 0:
+                        sub = self.sdtw_candidates_submit(
+                            qb_c, qlens_c, np.zeros((bc, Q), np.float32),
+                            force_oneshot=True,
+                        )
+                        qb_c = qlens_c = None
+                    clip_dev.append([grp, sub, qb_c, qlens_c])
             else:
                 queries = [qb[r, : int(qlens[r])].copy() for r in clip_rows]
                 if self._pool is not None:
