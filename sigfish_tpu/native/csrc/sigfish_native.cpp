@@ -892,6 +892,12 @@ static int64_t zstd_depress_tl(const uint8_t* src, int64_t src_len,
     while (true) {
         if (need > *buf_cap) {
             size_t cap = need < 2 * *buf_cap ? 2 * *buf_cap : need;
+            // the 256 MB ceiling bounds the ALLOCATION too, not just the
+            // retry loop: amortized doubling from a large live buffer
+            // (e.g. 150 MB -> 300 MB) must not overshoot the advertised
+            // cap (need itself never exceeds it by more than the +16)
+            if (cap > (256ull << 20) && cap > need)
+                cap = need > (256ull << 20) ? need : (256ull << 20);
             free(*buf);
             *buf = (uint8_t*)malloc(cap);
             *buf_cap = *buf ? cap : 0;
@@ -942,8 +948,13 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
             if (!dec) return -1;
         }
         size_t need = (size_t)blob_len * 4 + 4096;
+        // same 256 MB hard ceiling as the zstd path (initial guess,
+        // doubling, and the retry loop below all respect it): a crafted
+        // length prefix must not drive a multi-GB allocation
+        if (need > (256u << 20)) need = (256u << 20);
         if (need > buf_cap) {
             size_t cap = need < 2 * buf_cap ? 2 * buf_cap : need;
+            if (cap > (256u << 20)) cap = (256u << 20);
             free(buf);
             buf = (uint8_t*)malloc(cap);
             buf_cap = buf ? cap : 0;
@@ -959,7 +970,9 @@ int64_t sf_blow5_decode(const uint8_t* blob, int64_t blob_len,
                 break;
             }
             if (rc == LIBDEFLATE_INSUFFICIENT_SPACE) {
+                if (buf_cap >= (256u << 20)) return -1;  // hard ceiling
                 size_t cap = buf_cap * 2;
+                if (cap > (256u << 20)) cap = (256u << 20);
                 free(buf);
                 buf = (uint8_t*)malloc(cap);
                 buf_cap = buf ? cap : 0;

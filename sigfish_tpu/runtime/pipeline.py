@@ -465,7 +465,9 @@ class Core:
             # device clip pass as small sub-batches. Dispatch is
             # SEQUENTIAL: group i+1 submits only after group i's results
             # are fetched (and its device buffers released), bounding
-            # concurrent HBM to ~one group regardless of clipped count.
+            # concurrent HBM to ~one group PER BATCH regardless of
+            # clipped count (double-buffering can overlap two batches'
+            # groups -- see the _CLIP_ONESHOT_BYTES sizing note).
             for ent in handle["clip_dev"]:
                 grp, sub, qb_c, qlens_c = ent
                 if sub is None:
@@ -647,10 +649,21 @@ class Core:
                 ypad_h, rspad_h, D = prepare_wavefront_inputs(
                     self.ref_cat, self.reset, Q
                 )
-                # device-resident: re-uploading the (1, D) pads per call
-                # is invisible for small refs but costs ~2 s/call over
-                # the remote link at a 5M-column reference (the chunked
-                # path's clip sub-batches hit this every batch)
+                # device-resident FOR THE LIFE OF THE CORE: re-uploading
+                # the (1, D) pads per call is invisible for small refs
+                # but costs ~2 s/call over the remote link at a
+                # 5M-column reference (the chunked path's clip
+                # sub-batches hit this every batch). This retention is
+                # part of the chunked-mode HBM budget: 2 x 4D bytes per
+                # Q key (~0.7 GB x 2 at the largest clip-servable D).
+                # Q is core.pad_q on every production call, so one key
+                # exists in practice; the eviction below bounds the
+                # pathological case (distinct Q widths) at two keys.
+                # Benign race: drain thread (lazy clip submits) and main
+                # thread may both populate -- last write wins, both
+                # values are identical uploads.
+                if len(self._wf_cache) >= 2:
+                    self._wf_cache.pop(next(iter(self._wf_cache)))
                 self._wf_cache[Q] = (
                     jnp.asarray(ypad_h), jnp.asarray(rspad_h), D
                 )
@@ -1090,9 +1103,14 @@ _NO_PREFIX_EVENTS = bool(os.environ.get("SIGFISH_TPU_NO_PREFIX_EVENTS"))
 
 # chunked-ref mode: byte budget for serving a batch's CLIPPED reads
 # through the one-shot kernel (scores (rows, D) + the clip pass's
-# (rows, R) slice live together). 2 GB => 32-row groups at a 5.2M-column
-# reference -- small next to v5e's 16 GB HBM, huge next to the host
-# per-read DP it replaces (~1.3 s/read at that scale).
+# (rows, R) slice live together). The bound is PER BATCH: run_dtw
+# double-buffers, so batch N's lazily-dispatched clip groups (collect
+# thread) can overlap batch N+1's eagerly-submitted group 0 -- worst
+# case 2x this budget of clip buffers live at once, plus two batches'
+# chunked main-pass buffers. 2 GB x 2 = 4 GB worst case => 32-row
+# groups at a 5.2M-column reference -- still small next to v5e's 16 GB
+# HBM, huge next to the host per-read DP it replaces (~1.3 s/read at
+# that scale).
 _CLIP_ONESHOT_BYTES = 2 << 30
 
 # --host-stages device: ceiling on padded (Sb, Bb) eventization plane
