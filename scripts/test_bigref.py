@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--mbases", type=float, default=2.6)
     ap.add_argument("--reads", type=int, default=64)
     ap.add_argument("--ref-chunk", type=int, default=0, help="0=auto")
+    ap.add_argument(
+        "--mesh", default=None,
+        help="DPxTP ring mesh (CPU virtual devices: set XLA_FLAGS "
+        "--xla_force_host_platform_device_count + JAX_PLATFORMS=cpu)",
+    )
     ap.add_argument("--seed", type=int, default=11)
     args = ap.parse_args()
 
@@ -92,7 +97,10 @@ def main() -> int:
 
     # pallas explicitly: the chunked path is a wavefront-engine feature
     # (off-TPU this runs the interpreter -- tiny --mbases only)
-    opt = Options(ref_chunk=args.ref_chunk, num_thread=4, engine="pallas")
+    opt = Options(
+        ref_chunk=args.ref_chunk, num_thread=4, engine="pallas",
+        mesh=args.mesh,
+    )
     t0 = time.time()
     core = Core(fa.name, bl.name, opt)
     R = core.ref_cat.shape[0]

@@ -235,6 +235,68 @@ def device_window_top5(
     return ts, tp
 
 
+def select_topk_cands(
+    sc: jnp.ndarray,   # (B, C) candidate scores (BIG = empty slot)
+    pos: jnp.ndarray,  # (B, C) global first-min columns (-1 for empty)
+    k: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k selection rounds over an explicit candidate list: min score,
+    ties resolved to the LARGEST position.
+
+    This is update_aln's insertion order (sigfish.c:577-583, later
+    candidate wins ties) expressed over an unordered candidate set:
+    windows are disjoint column intervals, so comparing first-min
+    positions orders candidates exactly like the reference's window
+    iteration order -- the device_window_top5 selection loop's
+    "latest window wins" reversed-argmin, generalized to lists whose
+    array order is NOT column order (per-shard top-k lists gathered
+    across a mesh). Returns (scores (B, k) best-first, pos (B, k)).
+    """
+    B = sc.shape[0]
+    rows = jnp.arange(B)
+    top_s, top_p = [], []
+    for _ in range(k):
+        m = jnp.min(sc, axis=1, keepdims=True)
+        # among score-ties pick max position (-2 sorts below the -1 of
+        # empty slots so an empty candidate only wins when all are empty)
+        cp = jnp.where(sc <= m, pos, -2)
+        pick = jnp.argmax(cp, axis=1)
+        s = sc[rows, pick]
+        p = pos[rows, pick]
+        top_s.append(s)
+        top_p.append(jnp.where(s >= BIG, -1, p))
+        sc = sc.at[rows, pick].set(BIG)
+    return jnp.stack(top_s, axis=1), jnp.stack(top_p, axis=1)
+
+
+def merge_gathered_topk(
+    gathered: jnp.ndarray,  # (B, n_tp * 2k) shard-major packed top-k lists
+    n_tp: int,
+    k: int = 5,
+) -> jnp.ndarray:
+    """Merge per-shard packed top-k lists into the global packed top-k.
+
+    Correctness: any window the full-array selection would pick in round
+    j <= k has at most j-1 windows ranked above it globally, hence at
+    most j-1 in its own shard -- so it appears in that shard's top-k
+    list, and re-running the same order relation (select_topk_cands)
+    over the union of lists reproduces the full-array result exactly,
+    ties included (shards hold disjoint W-aligned column ranges, so
+    position order == global window order). Payload is O(B*k*n_tp) --
+    the collective the north-star design calls for, replacing the
+    O(B*R) row gather."""
+    B = gathered.shape[0]
+    blocks = gathered.reshape(B, n_tp, 2 * k)
+    sc = blocks[:, :, :k].reshape(B, n_tp * k)
+    pos = jax.lax.bitcast_convert_type(
+        blocks[:, :, k:], jnp.int32
+    ).reshape(B, n_tp * k)
+    ts, tp = select_topk_cands(sc, pos, k)
+    return jnp.concatenate(
+        [ts, jax.lax.bitcast_convert_type(tp, jnp.float32)], axis=1
+    )
+
+
 def unpack_top5(packed: np.ndarray, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """Host-side inverse of device_window_top5(pack=True): (B, 2k) f32 ->
     (top_scores (B, k) f32, top_pos (B, k) i32). Returns writable copies."""

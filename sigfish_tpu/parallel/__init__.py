@@ -1,7 +1,7 @@
 from .shard import (  # noqa: F401
     make_mesh,
     shard_tracks,
-    sharded_engine,
+    sharded_engine_topk,
     sharded_sdtw,
     sharded_sdtw_step,
 )

@@ -295,6 +295,31 @@ class Core:
                 # emissions (parallel/shard.ring_fullref_lastrow_wavefront)
                 per = -(-(ref_cat.shape[0] + self.pad_q) // n_tp)
                 Rs = ((per + unit - 1) // unit) * unit
+                # sub-chunking (chunked-ref composed with --mesh): each
+                # ring step streams the shard segment in Ds = Rs/n_sub
+                # diagonal sub-chunks through the carry kernel, folding
+                # into the per-window accumulator -- per-device memory
+                # stays O(Bm*Ds + B*Rs/W) no matter the contig size.
+                # n_sub must divide Rs/unit so Ds stays lcm(W, td[,ckpt])
+                # aligned; --ref-chunk > 0 forces ~that many diagonals
+                # per sub-chunk, else auto-chunk once a segment would
+                # exceed CHUNK_AUTO_COLS (same policy as single-device)
+                self.ring_n_sub = 1
+                if self.use_pallas and opt.ref_chunk >= 0:
+                    from ..ops.chunked_ref import CHUNK_AUTO_COLS
+
+                    target = (
+                        opt.ref_chunk if opt.ref_chunk > 0 else CHUNK_AUTO_COLS
+                    )
+                    if opt.ref_chunk > 0 or Rs > CHUNK_AUTO_COLS:
+                        m_units = Rs // unit
+                        best = 1
+                        for d in range(1, m_units + 1):
+                            if m_units % d == 0 and abs(
+                                Rs // d - target
+                            ) < abs(Rs // best - target):
+                                best = d
+                        self.ring_n_sub = best
                 R_ring = n_tp * Rs
                 pad_ref = np.full(R_ring, 1.0e18, dtype=np.float32)
                 pad_ref[: ref_cat.shape[0]] = ref_cat
@@ -384,6 +409,35 @@ class Core:
         self.u_dev = jnp.asarray(u_map)
         self.valid_dev = jnp.asarray(valid_map)
         self.valid_host = valid_map
+        if self.mesh is not None and self.mesh_mode == "tracks":
+            # per-shard views for the shard-local candidate reductions
+            # (sharded_engine_topk): gathered layout is shard-major, so
+            # the global maps reshape straight into (n_tp, Rs)
+            self.u_sh_dev = jnp.asarray(u_map.reshape(-1, self.shard_Rs))
+            self.valid_sh_dev = jnp.asarray(
+                valid_map.reshape(-1, self.shard_Rs)
+            )
+        elif self.mesh is not None and self.mesh_mode == "ring":
+            # per-shard valid masks for the ring top-k engines. The
+            # wavefront's per-shard blocks are DIAG-indexed (diag d =
+            # column d - lane), so its mask is the column mask shifted
+            # by lane -- computed globally here so a shard boundary
+            # never truncates it; the scan engine reads columns directly
+            Rs_r = self.shard_Rs
+            R_ring = ref_cat.shape[0]
+            n_tp_r = R_ring // Rs_r
+            if self.use_pallas:
+                lane_r = W - 1
+                vd = np.zeros(R_ring, dtype=bool)
+                vd[lane_r:] = valid_map[: R_ring - lane_r]
+                # real columns must all have an emission diagonal inside
+                # the layout (guaranteed by the +pad_q sizing above)
+                assert not valid_map[R_ring - lane_r :].any()
+                self.ring_vdiag_dev = jnp.asarray(vd.reshape(n_tp_r, Rs_r))
+            else:
+                self.ring_vcol_dev = jnp.asarray(
+                    valid_map.reshape(n_tp_r, Rs_r)
+                )
 
         # counters (ref core_t)
         self.total_reads = 0
@@ -451,6 +505,20 @@ class Core:
             )
         if handle.get("native"):
             return handle["top_s"], handle["top_p"]
+        if "packed4" in handle:
+            # mesh engines: one (B, 4k) fetch carrying both the uniform-
+            # window top-5 and the per-read-window top-5 (clipped reads)
+            B = handle["B"]
+            buf = np.asarray(handle["packed4"][:B])
+            ts, tp = unpack_top5(buf[:, :10])
+            qlens = handle["qlens"]
+            W = self.opt.query_size
+            rows = np.where((qlens > 0) & (qlens != W))[0]
+            if rows.size:
+                cs, cp = unpack_top5(buf[rows, 10:])
+                ts[rows] = cs
+                tp[rows] = cp
+            return ts, tp
         B = handle["B"]
         # one packed (B, 2k) f32 fetch: device->host round-trip latency
         # dominates per-batch cost, so scores+positions ride one buffer
@@ -469,16 +537,13 @@ class Core:
             # clipped count (double-buffering can overlap two batches'
             # groups -- see the _CLIP_ONESHOT_BYTES sizing note).
             for ent in handle["clip_dev"]:
-                grp, sub, qb_c, qlens_c = ent
+                grp, sub, qb_c, qlens_c, oh_c, kw = ent
                 if sub is None:
-                    bc = qb_c.shape[0]
                     sub = self.sdtw_candidates_submit(
-                        qb_c, qlens_c, np.zeros((bc, qb_c.shape[1]),
-                                                np.float32),
-                        force_oneshot=True,
+                        qb_c, qlens_c, oh_c, **kw
                     )
                 cs, cp = self.sdtw_candidates_collect(sub)
-                ent[1] = ent[2] = ent[3] = None  # release device refs
+                ent[1] = ent[2] = ent[3] = ent[4] = None  # release refs
                 ts[grp] = cs[: grp.size]
                 tp[grp] = cp[: grp.size]
         elif "clip_host" in handle:
@@ -533,6 +598,7 @@ class Core:
     def sdtw_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray,
         n_live: int | None = None, force_oneshot: bool = False,
+        single_device: bool = False,
     ) -> dict:
         """Dispatch the device computation asynchronously; returns a
         handle for sdtw_candidates_collect. Lets the caller overlap the
@@ -542,14 +608,18 @@ class Core:
         force_oneshot bypasses the chunked-reference routing -- used by
         the chunked path itself to serve its clipped sub-batches through
         the one-shot kernel + device clip pass (the small row count
-        makes the (rows, D) buffer affordable even when (B, D) is not)."""
+        makes the (rows, D) buffer affordable even when (B, D) is not).
+        single_device bypasses the mesh branches -- the ring mode's
+        clipped-read sub-batches route here (their per-read window
+        grids straddle ring shard boundaries), picking one-shot vs
+        chunked by reference size as usual."""
         if self.engine == "native" and self.mesh is None:
             return self._native_candidates_submit(qb, qlens, n_live)
-        if self.mesh is not None and self.mesh_mode == "ring":
-            from ..parallel.shard import (
-                ring_fullref_lastrow,
-                ring_fullref_lastrow_wavefront,
-            )
+        if (
+            self.mesh is not None and self.mesh_mode == "ring"
+            and not single_device
+        ):
+            from ..parallel.shard import ring_topk_scan, ring_topk_wavefront
 
             B = qb.shape[0]
             W = self.opt.query_size
@@ -558,33 +628,49 @@ class Core:
                 n_micro -= 1  # must divide the batch exactly
             if self.use_pallas:
                 # clipped reads ride the carry kernel's uniform lane via
-                # the same query shift as the single-device path
+                # the same query shift as the single-device path (exact
+                # DP values; their per-read windows are served below)
                 qb_k, fs_lanes = shift_queries_for_clip(qb, qlens, W - 1)
-                lr = ring_fullref_lastrow_wavefront(
-                    jnp.asarray(qb_k), self.ring_ref_dev, self.ring_rspad_dev,
-                    self.mesh, n_micro=n_micro,
-                    lane=W - 1,
-                    start_lanes=jnp.asarray(fs_lanes),
+                out = ring_topk_wavefront(
+                    jnp.asarray(qb_k), jnp.asarray(fs_lanes),
+                    self.ring_ref_dev, self.ring_rspad_dev,
+                    self.ring_vdiag_dev,
+                    self.mesh, n_micro=n_micro, lane=W - 1, W=W,
+                    Rs=self.shard_Rs, n_sub=self.ring_n_sub,
                     interpret=self.wf_interpret,
                 )
             else:
-                lr = ring_fullref_lastrow(
+                out = ring_topk_scan(
                     jnp.asarray(qb), jnp.asarray(onehot),
                     self.ring_ref_dev, self.ring_reset_dev,
-                    self.mesh, n_micro=n_micro,
+                    self.ring_vcol_dev,
+                    self.mesh, n_micro=n_micro, W=W, Rs=self.shard_Rs,
+                    ckpt=self.opt.ckpt,
                 )
-            qlens_dev2 = jnp.asarray(qlens.astype(np.int32))
-            R_ring = self.ref_cat.shape[0]
-            packed = device_window_top5(
-                lr, qlens_dev2, self.valid_dev, R_ring,
-                W=W, k=5, reindex=False, pack=True,
-            )
-            _start_host_copy(packed)
-            handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
-            # clipped reads: both ring engines produce column-indexed
-            # qlen-1 rows (scan via onehot, wavefront via the shift), so
-            # the second pass only re-derives their qlen-wide windows
-            self._clip_pass(handle, lr, qlens, qlens_dev2, R_ring, W)
+            _start_host_copy(out)
+            handle = dict(packed=out, qlens=qlens, B=B, clipped_done=True)
+            clip_rows = np.where((qlens > 0) & (qlens != W))[0]
+            if clip_rows.size:
+                # per-read window grids straddle ring shard boundaries:
+                # serve clipped reads through the single-device
+                # machinery (one-shot or chunked by size) as one small
+                # sub-batch, spliced back in at collect
+                bc = 1
+                while bc < clip_rows.size:
+                    bc *= 2
+                Q = qb.shape[1]
+                qb_c = np.zeros((bc, Q), dtype=qb.dtype)
+                qb_c[: clip_rows.size] = qb[clip_rows]
+                oh_c = np.zeros((bc, Q), np.float32)
+                oh_c[: clip_rows.size] = onehot[clip_rows]
+                qlens_c = np.full(bc, max(W, 1), dtype=qlens.dtype)
+                qlens_c[: clip_rows.size] = qlens[clip_rows]
+                sub = self.sdtw_candidates_submit(
+                    qb_c, qlens_c, oh_c, single_device=True
+                )
+                handle["clip_dev"] = [
+                    [clip_rows, sub, None, None, None, None]
+                ]
             return handle
         B = qb.shape[0]
         if self.mesh is None and B > self.DEVICE_CHUNK:
@@ -599,8 +685,8 @@ class Core:
         R = self.ref_cat.shape[0]
         W = self.opt.query_size
         qlens_dev = jnp.asarray(qlens.astype(np.int32))
-        if self.mesh is not None:
-            from ..parallel import sharded_engine
+        if self.mesh is not None and not single_device:
+            from ..parallel import sharded_engine_topk
 
             n_dp = self.mesh.shape["dp"]
             B = qb.shape[0]
@@ -617,26 +703,21 @@ class Core:
                                    constant_values=max(W, 1))
             else:
                 qlens_pad = qlens.astype(np.int32)
-            lr = sharded_engine(
+            # per-shard top-5 + O(B*k) allgather/merge on device --
+            # clipped reads are served in the same pass (the per-read-
+            # window list), so no second device pass and nothing O(R)
+            # on the collective
+            out = sharded_engine_topk(
                 jnp.asarray(qb), jnp.asarray(onehot), jnp.asarray(qlens_pad),
                 self.shard_ref_dev, self.shard_reset_dev,
                 self.shard_ypad_dev, self.shard_rspad_dev,
+                self.u_sh_dev, self.valid_sh_dev,
                 self.mesh, Rs=self.shard_Rs, lane=W - 1,
                 ckpt=self.opt.ckpt, use_pallas=self.use_pallas,
                 clip_shift=self.use_pallas, interpret=self.wf_interpret,
             )
-            qlp_dev = jnp.asarray(qlens_pad)
-            packed = device_window_top5(
-                lr, qlp_dev, self.valid_dev, R, W=W, k=5, reindex=False,
-                pack=True,
-            )
-            _start_host_copy(packed)
-            handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
-            # both engines emit column-indexed per-read qlen-1 rows here
-            # (scan: onehot; wavefront: the clip shift) -- re-derive
-            # clipped reads' qlen-wide windows in a second pass
-            self._clip_pass(handle, lr, qlens, qlp_dev, R, W)
-            return handle
+            _start_host_copy(out)
+            return dict(packed4=out, qlens=qlens, B=B, clipped_done=True)
         clip_rows = np.where((qlens > 0) & (qlens != W))[0]
         if self.use_pallas and self.opt.ref_chunk >= 0 and not force_oneshot:
             from ..ops.chunked_ref import CHUNK_AUTO_COLS
@@ -784,13 +865,16 @@ class Core:
                     qlens_c = np.full(bc, W, dtype=qlens.dtype)
                     qlens_c[: grp.size] = qlens[grp]
                     sub = None
+                    oh_c = np.zeros((bc, Q), np.float32)
                     if o == 0:
                         sub = self.sdtw_candidates_submit(
-                            qb_c, qlens_c, np.zeros((bc, Q), np.float32),
-                            force_oneshot=True,
+                            qb_c, qlens_c, oh_c, force_oneshot=True,
                         )
-                        qb_c = qlens_c = None
-                    clip_dev.append([grp, sub, qb_c, qlens_c])
+                        qb_c = qlens_c = oh_c = None
+                    clip_dev.append(
+                        [grp, sub, qb_c, qlens_c, oh_c,
+                         dict(force_oneshot=True)]
+                    )
             else:
                 queries = [qb[r, : int(qlens[r])].copy() for r in clip_rows]
                 if self._pool is not None:
