@@ -231,9 +231,17 @@ def run_trial(seed: int, force_mappable: bool = False,
         cmd_common = [fa, bl, "--kmer-model", tsv] + flags
         eng = os.environ.get("SIGFISH_FUZZ_ENGINE")
         ours_extra = ["--engine", eng] if eng else []
+        # chunked-reference leg: force tiny segments on OUR side only
+        # (the oracle has no such knob; chunking must not change a byte)
+        ref_chunk = os.environ.get("SIGFISH_FUZZ_REF_CHUNK")
+        if ref_chunk:
+            ours_extra += ["--ref-chunk", ref_chunk]
         env = dict(os.environ)
-        if eng == "pallas":
-            # the TPU leg: leave the platform alone (axon device)
+        if eng == "pallas" and not os.environ.get("SIGFISH_FUZZ_PALLAS_CPU"):
+            # the TPU leg: leave the platform alone (axon device).
+            # SIGFISH_FUZZ_PALLAS_CPU=1 keeps the CPU backend instead --
+            # the wavefront runs the Pallas interpreter (same numerics,
+            # no hardware needed; how the chunked-ref leg fuzzes offline)
             env.pop("JAX_PLATFORMS", None)
         else:
             env["JAX_PLATFORMS"] = "cpu"
@@ -257,12 +265,19 @@ def run_trial(seed: int, force_mappable: bool = False,
             )
             base_cmd = [sys.executable, "-m", "sigfish_tpu.cli", "dtw"]
             cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            # SIGFISH_FUZZ_MESH_ENGINE=pallas rides the wavefront
+            # interpreter on the CPU mesh (covers ring_topk_wavefront /
+            # sharded_engine_topk); ref-chunk applies to the MESH side
+            # only, so the differential also covers mesh x chunking
+            meng = os.environ.get("SIGFISH_FUZZ_MESH_ENGINE", "scan")
+            mesh_extra = ["--ref-chunk", ref_chunk] if ref_chunk else []
             r1 = subprocess.run(
-                base_cmd + cmd_common + ["--engine", "scan"],
+                base_cmd + cmd_common + ["--engine", meng],
                 capture_output=True, env=env, timeout=2400, cwd=cwd,
             )
             r2 = subprocess.run(
-                base_cmd + cmd_common + ["--engine", "scan", "--mesh", mesh],
+                base_cmd + cmd_common
+                + ["--engine", meng, "--mesh", mesh] + mesh_extra,
                 capture_output=True, env=env, timeout=2400, cwd=cwd,
             )
             ok = (
@@ -271,7 +286,8 @@ def run_trial(seed: int, force_mappable: bool = False,
                 and r1.stdout == r2.stdout
             )
             print(f"seed {seed}: {'OK' if ok else 'DIFF'}  mesh={mesh} "
-                  f"{pore} {'rna' if rna else 'dna'} {' '.join(flags)}  "
+                  f"eng={meng} {pore} {'rna' if rna else 'dna'} "
+                  f"{' '.join(flags)}  "
                   f"({len(r1.stdout.splitlines())} lines)")
             if not ok and r2.returncode != 0:
                 print("  mesh stderr:", r2.stderr.decode()[-500:])
@@ -367,6 +383,13 @@ def main() -> int:
     ap.add_argument("--mesh",
                     help="sharding-invariance leg, e.g. 2x2 "
                     "(= SIGFISH_FUZZ_MESH; diffs ours-vs-ours)")
+    ap.add_argument("--mesh-engine", choices=["scan", "pallas"],
+                    help="engine for the mesh leg (default scan; pallas "
+                    "= wavefront interpreter, covers the top-k merge) "
+                    "(= SIGFISH_FUZZ_MESH_ENGINE)")
+    ap.add_argument("--ref-chunk", dest="ref_chunk",
+                    help="force --ref-chunk N on our side (mesh leg: on "
+                    "the mesh side) (= SIGFISH_FUZZ_REF_CHUNK)")
     args = ap.parse_args()
     # the env vars remain the plumbing run_trial reads (and stay usable
     # directly); the flags just set them
@@ -378,6 +401,10 @@ def main() -> int:
         os.environ["SIGFISH_FUZZ_PORE"] = args.pore
     if args.mesh:
         os.environ["SIGFISH_FUZZ_MESH"] = args.mesh
+    if args.mesh_engine:
+        os.environ["SIGFISH_FUZZ_MESH_ENGINE"] = args.mesh_engine
+    if args.ref_chunk:
+        os.environ["SIGFISH_FUZZ_REF_CHUNK"] = args.ref_chunk
     n = args.n_trials
     base = args.base_seed if args.base_seed is not None else args.seed_base
     ensure_oracle()

@@ -104,7 +104,7 @@ tpu_oracle() {
   local RFA=/root/reference/test/rnasequin_sequences_2.4.fa
   local RBL=/root/reference/test/sequin_rna.blow5
   local RTSV=/tmp/sigfish_models/r9.4_rna_5mer.tsv
-  for flags in "--sam" ""; do
+  for flags in "--sam" "" "--dtw-std"; do
     $OR dtw $RFA $RBL --kmer-model $RTSV --rna -q 500 -p -1 $flags -t 1 \
         2>/dev/null > /tmp/or.out || return 1
     python -m sigfish_tpu.cli dtw $RFA $RBL --kmer-model $RTSV \

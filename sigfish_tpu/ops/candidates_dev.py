@@ -300,6 +300,9 @@ def merge_gathered_topk(
 def unpack_top5(packed: np.ndarray, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """Host-side inverse of device_window_top5(pack=True): (B, 2k) f32 ->
     (top_scores (B, k) f32, top_pos (B, k) i32). Returns writable copies."""
-    ts = np.ascontiguousarray(packed[:, :k], dtype=np.float32)
-    tp = np.ascontiguousarray(packed[:, k:], dtype=np.float32).view(np.int32)
+    # np.array (not ascontiguousarray): a (1, k) slice of a 1-row buffer
+    # counts as contiguous, so ascontiguousarray would return a read-
+    # only VIEW of the device buffer -- the callers write into these
+    ts = np.array(packed[:, :k], dtype=np.float32)
+    tp = np.array(packed[:, k:], dtype=np.float32).view(np.int32)
     return ts, tp

@@ -70,11 +70,12 @@ WF_TD = int(__import__("os").environ.get("SIGFISH_TPU_WF_TD", "256"))
 _SHIFT1 = np.int32(1)
 _BIG32 = np.float32(BIG)
 _HALF32 = np.float32(0.5)
+_ZERO32 = np.float32(0.0)
 
 
 def _wavefront_tile(
     queries_ref, ypad_ref, rspad_ref, out_ref, state, *, td: int, lane: int,
-    unroll: int, fs_mask=None,
+    unroll: int, fs_mask=None, std: bool = False,
 ):
     """One TD-diagonal tile: advances (a1, b2, ywin, rswin), writing the
     emitted last-row-lane values into out_ref (a (B, td) block).
@@ -126,7 +127,20 @@ def _wavefront_tile(
         up = pltpu.roll(a1, shift=_SHIFT1, axis=1)
         ld = jnp.where(rs, _BIG32, jnp.minimum(a1, b2))
         a_new = local + jnp.minimum(up, ld)
-        a_new = jnp.where(fs_mask, local, a_new)  # free start row
+        if std:
+            # boundary-anchored first row (--dtw-std, cdtw.c:70-94):
+            # cost[0][j] = local + cost[0][j-1], restarting at each
+            # track's first column (rs). a1 here is STILL diagonal d-1,
+            # whose fs-lane value is cell (0, j-1); the anchored first
+            # COLUMN needs no special case (left/diag arrive as BIG
+            # from the carry init / rs mask, leaving up only). min is
+            # rounding-exact, so the only float op order that matters
+            # -- the first-row adds -- is the scalar DP's column order.
+            a_new = jnp.where(
+                fs_mask, local + jnp.where(rs, _ZERO32, a1), a_new
+            )
+        else:
+            a_new = jnp.where(fs_mask, local, a_new)  # free start row
 
         # the uniform last-row lane (qlen-1 == lane for full-length
         # reads; clipped reads land here too via the fs_mask query
@@ -156,6 +170,7 @@ def _wavefront_kernel(
     td: int,
     lane: int,
     unroll: int = 4,
+    std: bool = False,
 ):
     g = pl.program_id(0)
     B, Q = queries_ref.shape
@@ -170,7 +185,7 @@ def _wavefront_kernel(
     state = (a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:])
     state = _wavefront_tile(
         queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
-        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32,
+        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32, std=std,
     )
     a1_ref[:], a2_ref[:], ywin_ref[:], rswin_ref[:] = state
 
@@ -198,6 +213,7 @@ def _wavefront_carry_kernel(
     td: int,
     lane: int,
     unroll: int = 4,
+    std: bool = False,
 ):
     """Carry-in/carry-out variant for reference-axis sharding: the cross-
     tile DP state is an explicit operand pair instead of scratch, so a
@@ -216,12 +232,14 @@ def _wavefront_carry_kernel(
     state = (a1_out[:], a2_out[:], ywin_out[:], rswin_out[:])
     state = _wavefront_tile(
         queries_ref, ypad_ref, rspad_ref, out_ref, state, td=td, lane=lane,
-        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32,
+        unroll=unroll, fs_mask=fsmask_ref[:] > _HALF32, std=std,
     )
     a1_out[:], a2_out[:], ywin_out[:], rswin_out[:] = state
 
 
-@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("lane", "td", "unroll", "interpret", "std")
+)
 def sdtw_wavefront(
     queries: jnp.ndarray,   # (B, Q) float32
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
@@ -231,6 +249,7 @@ def sdtw_wavefront(
     unroll: int = 8,
     interpret: bool = False,
     start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
+    std: bool = False,      # boundary-anchored DTW (--dtw-std, cdtw.c:70)
 ) -> jnp.ndarray:
     """Returns diag-indexed scores (B, D): out[b, d] = cost[lane, d-lane].
 
@@ -259,7 +278,9 @@ def sdtw_wavefront(
         == start_lanes.astype(jnp.int32)[:, None]
     ).astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_wavefront_kernel, td=td, lane=lane, unroll=unroll),
+        functools.partial(
+            _wavefront_kernel, td=td, lane=lane, unroll=unroll, std=std
+        ),
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
@@ -312,7 +333,9 @@ def shift_queries_for_clip(
     return qb2, lanes
 
 
-@functools.partial(jax.jit, static_argnames=("lane", "td", "unroll", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("lane", "td", "unroll", "interpret", "std")
+)
 def sdtw_wavefront_carry(
     queries: jnp.ndarray,   # (B, Q) float32
     ypad: jnp.ndarray,      # (1, D) float32, D multiple of td
@@ -327,6 +350,7 @@ def sdtw_wavefront_carry(
     unroll: int = 8,
     interpret: bool = False,
     start_lanes: jnp.ndarray | None = None,  # (B,) i32 free-start lane per read
+    std: bool = False,
 ):
     """sdtw_wavefront over ONE reference segment with explicit cross-
     segment DP state: seeds from (a1, a2, ywin, rswin) and returns the
@@ -354,7 +378,9 @@ def sdtw_wavefront_carry(
     full = pl.BlockSpec((B, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, Q), lambda g: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_wavefront_carry_kernel, td=td, lane=lane, unroll=unroll),
+        functools.partial(
+            _wavefront_carry_kernel, td=td, lane=lane, unroll=unroll, std=std
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.float32),
             jax.ShapeDtypeStruct((B, Q), jnp.float32),

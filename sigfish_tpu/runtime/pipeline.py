@@ -457,12 +457,54 @@ class Core:
         if opt.num_thread > 1:
             self._pool = _fut.ThreadPoolExecutor(max_workers=opt.num_thread)
 
-    def sdtw_std_corners(self, qb: np.ndarray, onehot: np.ndarray) -> np.ndarray:
+    def sdtw_std_corners(
+        self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
+    ) -> np.ndarray:
         """--dtw-std on device engines: per-track corner cells gathered
         ON DEVICE, so (B, ntracks) crosses the host link instead of the
         full (B, R) last-row matrix (320 MB at RNA scale over the ~11
         MB/s axon link). ref sigfish.c:914-925: std DTW contributes one
-        candidate per track, its boundary-anchored corner cell."""
+        candidate per track, its boundary-anchored corner cell.
+
+        Engine routing: pallas runs the boundary-anchored wavefront
+        kernel (sdtw_wavefront std=True) -- BYTE-EXACT vs the scalar
+        oracle (min is rounding-exact and the anchored first-row adds
+        run in the scalar DP's column order), unlike the lax.scan
+        engine whose prefix-min reassociation carries a documented
+        +-ulp drift (fuzz seeds 3003/3031). Clipped reads ride the
+        same query shift as the subsequence path. std is RNA-only so
+        references are small; a >CHUNK_AUTO_COLS reference (no such
+        workload exists in practice) routes to the exact native host
+        path rather than materializing the one-shot buffer."""
+        if getattr(self, "_std_corner_cols", None) is None:
+            offs = self.track_offsets
+            self._std_corner_cols = np.array(
+                [
+                    int(offs[t]) + max(int(self.track_sizes[t]), 1) - 1
+                    for t in range(len(self.tracks))
+                ],
+                np.int32,
+            )
+        if self.use_pallas:
+            from ..ops.chunked_ref import CHUNK_AUTO_COLS
+
+            W = self.opt.query_size
+            Q = qb.shape[1]
+            if self.ref_cat.shape[0] + Q > CHUNK_AUTO_COLS:
+                return self._native_std_corners(qb, qlens)
+            ypad_h, rspad_h, D = prepare_wavefront_inputs(
+                self.ref_cat, self.reset, Q
+            )
+            qb_k, fs = shift_queries_for_clip(qb, qlens, W - 1)
+            ds = sdtw_wavefront(
+                jnp.asarray(qb_k), jnp.asarray(ypad_h),
+                jnp.asarray(rspad_h), lane=W - 1,
+                start_lanes=jnp.asarray(fs), std=True,
+                interpret=self.wf_interpret,
+            )
+            # diag-indexed: column c emits at diagonal c + lane
+            cols = jnp.asarray(self._std_corner_cols + np.int32(W - 1))
+            return np.asarray(jnp.take(ds, cols, axis=1))
         lr = sdtw_scan(
             jnp.asarray(qb),
             jnp.asarray(onehot),
@@ -471,17 +513,9 @@ class Core:
             ckpt=self.opt.ckpt,
             std=True,
         )
-        if getattr(self, "_std_corner_cols_dev", None) is None:
-            offs = self.track_offsets
-            cols = np.array(
-                [
-                    int(offs[t]) + max(int(self.track_sizes[t]), 1) - 1
-                    for t in range(len(self.tracks))
-                ],
-                np.int32,
-            )
-            self._std_corner_cols_dev = jnp.asarray(cols)
-        return np.asarray(jnp.take(lr, self._std_corner_cols_dev, axis=1))
+        return np.asarray(
+            jnp.take(lr, jnp.asarray(self._std_corner_cols), axis=1)
+        )
 
     def sdtw_candidates(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray
@@ -1556,7 +1590,7 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
     else:
         # device engines: corner cells only (the full (B, R) last-row
         # fetch is link-prohibitive; see sdtw_std_corners)
-        pending.std_corners = core.sdtw_std_corners(qb, onehot)
+        pending.std_corners = core.sdtw_std_corners(qb, qlens, onehot)
     return pending
 
 

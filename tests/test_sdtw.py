@@ -53,6 +53,71 @@ def test_scan_matches_exact_std():
     np.testing.assert_allclose(lr[0, : t.size], exact, rtol=2e-5, atol=2e-4)
 
 
+def test_wavefront_std_bitwise_vs_oracle():
+    """The boundary-anchored wavefront (--dtw-std on the TPU engine)
+    must equal the scalar-order oracle BITWISE -- min is rounding-exact
+    and the anchored first-row adds run in column order, so unlike the
+    scan engine there is no reassociation drift. Clipped reads ride the
+    clip shift; multi-track resets restart the anchor."""
+    from sigfish_tpu.ops.sdtw_pallas import (
+        prepare_wavefront_inputs,
+        sdtw_wavefront,
+        shift_queries_for_clip,
+    )
+
+    rng = np.random.default_rng(17)
+    W, Q, td = 32, 64, 64
+    lane = W - 1
+    tracks = [rng.standard_normal(s).astype(np.float32) for s in (300, 150)]
+    ref, reset, offs = pad_tracks(tracks, ckpt=td, align=W)
+    qlist = [
+        rng.standard_normal(n).astype(np.float32) for n in (W, 11, W - 5)
+    ]
+    qb, qlens, _ = make_query_batch(qlist, pad_q=Q)
+    qb_k, fs = shift_queries_for_clip(qb, qlens, lane)
+    ypad, rspad, D = prepare_wavefront_inputs(ref, reset, Q, td=td)
+    ds = np.asarray(sdtw_wavefront(
+        jnp.asarray(qb_k), jnp.asarray(ypad), jnp.asarray(rspad),
+        lane=lane, td=td, start_lanes=jnp.asarray(fs), std=True,
+        interpret=True,
+    ))
+    lr = ds[:, lane : lane + ref.shape[0]]
+    for b, q in enumerate(qlist):
+        for t_i, t in enumerate(tracks):
+            lo = int(offs[t_i])
+            exact = np.asarray(std_dtw_cost(q, t))[-1]
+            np.testing.assert_array_equal(lr[b, lo : lo + t.size], exact)
+
+
+def test_pipeline_dtw_std_pallas_matches_native():
+    """--dtw-std through the full pipeline: the wavefront engine's output
+    must be byte-identical to the exact native engine (the last
+    non-byte-exact device config of round 4)."""
+    import io
+
+    from sigfish_tpu.runtime.pipeline import Core, Options, run_dtw
+
+    REF = "/root/reference/test"
+
+    def run(engine):
+        opt = Options(
+            rna=True, query_size=100, prefix_size=-1, dtw_std=True,
+            engine=engine, num_thread=2,
+        )
+        core = Core(
+            f"{REF}/rnasequin_sequences_2.4.fa", f"{REF}/sequin_rna.blow5",
+            opt,
+        )
+        out = io.StringIO()
+        run_dtw(core, out)
+        core.close()
+        return out.getvalue()
+
+    pallas_out = run("pallas")  # interpreter off-TPU, same numerics
+    native_out = run("native")
+    assert pallas_out and pallas_out == native_out
+
+
 def test_backtrack_path_properties():
     q = _rand(20, 6)
     t = _rand(100, 7)
