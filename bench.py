@@ -166,11 +166,13 @@ def _first_touch_thread():
     return t, done
 
 
-def _kernel_gcells() -> float:
+def _kernel_gcells(td: int | None = None) -> float:
     """Wavefront-kernel microbench: Gcell/s at the production DNA shape
-    (B=512, Q=256, nCoV two-strand reference) with the default td/unroll.
-    scripts/bench_kernel.py is the full sweep; this is its headline combo
-    so BENCH_r0N carries the kernel number next to the e2e reads/s."""
+    (B=512, Q=256, nCoV two-strand reference) at td (None = the e2e
+    legs' default). scripts/bench_kernel.py is the full sweep; this is
+    its headline combo so BENCH_r0N carries the kernel number next to
+    the e2e reads/s (scripts/bench_vpu_peak.py states the same rate as
+    a percent of the measured VPU attainable peak)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -178,8 +180,14 @@ def _kernel_gcells() -> float:
     from sigfish_tpu.models.genref import gen_ref
     from sigfish_tpu.models.pore_model import MODEL_ID_DNA_R9, load_builtin_model
     from sigfish_tpu.ops.sdtw import pad_tracks
-    from sigfish_tpu.ops.sdtw_pallas import prepare_wavefront_inputs, sdtw_wavefront
+    from sigfish_tpu.ops.sdtw_pallas import (
+        WF_TD,
+        prepare_wavefront_inputs,
+        sdtw_wavefront,
+    )
 
+    if td is None:
+        td = WF_TD
     B, Q = 512, 256
     model = load_builtin_model(MODEL_ID_DNA_R9)
     ref = gen_ref(REF_FASTA, model, rna=False)
@@ -188,7 +196,7 @@ def _kernel_gcells() -> float:
         tracks.append(ref.forward[j])
         tracks.append(ref.reverse[j])
     ref_cat, reset, _ = pad_tracks(tracks, ckpt=512)
-    ypad, rspad, D = prepare_wavefront_inputs(ref_cat, reset, Q)
+    ypad, rspad, D = prepare_wavefront_inputs(ref_cat, reset, Q, td=td)
     qb = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, Q)).astype(np.float32)
     )
@@ -201,7 +209,7 @@ def _kernel_gcells() -> float:
         # per-launch device-link latency from the timing
         q = q0
         for _ in range(n_it):
-            q = q + sdtw_wavefront(q, yp, rp, lane=Q - 1)[:, :Q] * 0.0
+            q = q + sdtw_wavefront(q, yp, rp, lane=Q - 1, td=td)[:, :Q] * 0.0
         return q
 
     def sync(x):  # a 1-element fetch is the reliable axon fence
@@ -381,6 +389,38 @@ def main() -> None:
 
         # ---- optional legs, in value order, each time-boxed ----
 
+        # DNA steady state (VERDICT r4 #4): the short e2e pass times
+        # batch-boundary and dispatch edges along with the work -- the
+        # chip sustains ~35% more in soak (3,329 r/s over 50k reads,
+        # scripts/soak.py). Measure the rate over post-warm batches on
+        # a larger workload: first batch excluded (its timing includes
+        # the submit edge), the rest through the production
+        # double-buffered loop, same engine/shapes as the e2e leg.
+        if remaining() > 60:
+            tmp_steady = tempfile.mktemp(suffix=".blow5")
+            try:
+                n_steady = build_workload(tmp_steady, REF_BLOW5, 2400)
+                core = Core(REF_FASTA, tmp_steady, _dopt())
+                blobs = core.sf.read_batch(
+                    bench_k, 20_000_000 * max(1, bench_k // 512)
+                )
+                process_batch(core, blobs)  # warm edge, untimed
+                t0 = time.time()
+                run_dtw(core, io.StringIO())
+                dt_steady = time.time() - t0
+                core.close()
+                steady = (n_steady - len(blobs)) / dt_steady
+                STATE["dna_reads_per_s_steady"] = round(steady, 1)
+                STATE["dna_steady_reads"] = n_steady - len(blobs)
+                STATE["dna_steady_vs_baseline"] = round(
+                    steady / BASELINE_READS_PER_S, 2
+                )
+            finally:
+                if os.path.exists(tmp_steady):
+                    os.unlink(tmp_steady)
+            mark("dna_steady")
+            emit()
+
         # wavefront-kernel rate at the production DNA shape
         # (scripts/bench_kernel.py's headline combo). Runs at the e2e
         # legs' td (wf_td in this JSON); its D differs from the
@@ -388,10 +428,38 @@ def main() -> None:
         # ~100 s Mosaic compile -- hence the higher guard.
         if remaining() > 150:
             try:
-                STATE["kernel_gcells_per_s"] = round(_kernel_gcells(), 1)
+                gc = _kernel_gcells()
+                STATE["kernel_gcells_per_s"] = round(gc, 1)
+                # vs the measured attainable for this op mix: the bare
+                # 8-op recurrence chain (2-way ILP) sustains 3,939
+                # Gop/s device-time = 492.3 Gcell/s-equivalent at 8
+                # vector ops/cell (scripts/bench_vpu_peak.py,
+                # 2026-08-20, v5e; the cross-lane roll unit is the
+                # binding resource -- DESIGN.md §1). Wall-clock kernel
+                # rate over the relay understates device rate, so this
+                # percentage is conservative.
+                STATE["kernel_pct_of_vpu_peak"] = round(
+                    100.0 * gc / 492.3, 1
+                )
             except Exception as e:  # never let the microbench sink the bench
                 print(f"kernel microbench failed: {e!r}", file=sys.stderr)
             mark("kernel")
+            emit()
+
+        # the rate-optimal td=256 kernel number (DESIGN §1's flagship
+        # combo). Its fully-unrolled body cold-compiles in ~100 s at
+        # Q=256, so this only lands when the budget (or a warm XLA
+        # cache) allows -- the e2e legs run td=128 regardless, where
+        # the ~5% kernel-rate delta is invisible (host-bound).
+        if remaining() > 180 and STATE.get("wf_td") != 256:
+            try:
+                STATE["kernel_gcells_per_s_td256"] = round(
+                    _kernel_gcells(td=256), 1
+                )
+            except Exception as e:
+                print(f"td256 kernel microbench failed: {e!r}",
+                      file=sys.stderr)
+            mark("kernel_td256")
             emit()
 
         # unoverlapped per-batch stage seconds from one --profile-cpu

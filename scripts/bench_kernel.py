@@ -6,8 +6,13 @@ D = padded diagonals covering the 60k-column two-strand reference).
 Cells = B * Q * D_real... more precisely the kernel computes B * Q
 cells per diagonal step over D steps, so rate = B * Q * D / t.
 
-Usage: python scripts/bench_kernel.py [td ...] [--unroll N ...]
-Prints one line per (td, unroll) combo.
+Usage: python scripts/bench_kernel.py [td ...] [--unroll N ...] [--q N]
+Prints one line per (td, unroll) combo, including the COLD compile
+time (the fully-unrolled tile body's Mosaic cost scales with td; the
+grid dimension is the partial-unroll mechanism -- a smaller td is
+exactly "unroll td diagonals per grid step"). Set
+SIGFISH_TPU_NO_XLA_CACHE=1 to defeat the persistent cache and measure
+true cold compiles.
 """
 
 from __future__ import annotations
@@ -33,7 +38,17 @@ def main() -> None:
         sdtw_wavefront,
     )
 
-    B, Q = 512, 256
+    argv0 = sys.argv[1:]
+    Q, B = 256, 512
+    for flag, name in (("--q", "Q"), ("--b", "B")):
+        if flag in argv0:
+            k0 = argv0.index(flag)
+            if name == "Q":
+                Q = int(argv0[k0 + 1])
+            else:
+                B = int(argv0[k0 + 1])
+            argv0 = argv0[:k0] + argv0[k0 + 2 :]
+    sys.argv[1:] = argv0
     model = load_builtin_model(MODEL_ID_DNA_R9)
     ref = gen_ref(
         "/root/reference/test/nCoV-2019.reference.fasta", model, rna=False
@@ -54,6 +69,9 @@ def main() -> None:
     else:
         unrolls = [8]
     tds = [int(a) for a in argv] or [128]
+
+    # pay the axon first-touch stall before any timed compile
+    float(np.asarray(jnp.ones((8, 128)) + 1)[0, 0])
 
     for td in tds:
         ypad, rspad, D = prepare_wavefront_inputs(ref_cat, reset, Q, td=td)
@@ -82,14 +100,17 @@ def main() -> None:
                 return q
 
             n_it = 5
+            tc0 = time.time()
             sync(chain(qb_d, ypad_d, rspad_d))  # compile + first-touch
+            t_compile = time.time() - tc0
             t0 = time.time()
             sync(chain(qb_d, ypad_d, rspad_d))
             dt = (time.time() - t0) / n_it
             cells = B * Q * D
             print(
-                f"td={td:4d} unroll={unroll:3d} D={D} "
-                f"{dt*1e3:8.2f} ms  {cells/dt/1e9:7.1f} Gcell/s",
+                f"td={td:4d} unroll={unroll:3d} Q={Q} D={D} "
+                f"{dt*1e3:8.2f} ms  {cells/dt/1e9:7.1f} Gcell/s  "
+                f"compile {t_compile:6.1f} s",
                 flush=True,
             )
 

@@ -35,12 +35,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _device_time(fn) -> float:
+    """Run fn under the JAX profiler; return the PER-LAUNCH device time
+    (seconds) of the dominant XLA op (the kernel under test). Wall
+    clock through the axon relay carries multi-ms jitter per call;
+    device_duration from the xplane is the clean number."""
+    import glob
+    import tempfile
+
+    import jax
+
+    d = tempfile.mkdtemp(prefix="sfpk_trace_")
+    with jax.profiler.trace(d):
+        fn()
+    pbs = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
+    if not pbs:
+        raise RuntimeError("no xplane.pb produced by the profiler")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # lazy: ~10 s
+
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(pbs[0], "rb").read())
+    best_total = 0.0
+    best_cnt = 1
+    for p in space.planes:
+        if not p.name.startswith("/device:TPU"):
+            continue
+        for line in p.lines:
+            if line.name != "XLA Ops":
+                continue
+            tot = {}
+            cnt = {}
+            for e in line.events:
+                name = p.event_metadata[e.metadata_id].name
+                tot[name] = tot.get(name, 0.0) + e.duration_ps / 1e12
+                cnt[name] = cnt.get(name, 0) + 1
+            if tot:
+                top = max(tot, key=tot.get)
+                if tot[top] > best_total:
+                    best_total, best_cnt = tot[top], cnt[top]
+    if best_total == 0.0:
+        raise RuntimeError("no device ops found in trace")
+    return best_total / max(best_cnt, 1)
+
+
 def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--td", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=512)
+    # iters = UNROLLED body size (Mosaic compile cost scales with it --
+    # keep small); grid repeats the body so runtime work is iters*grid
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -53,18 +99,37 @@ def main() -> None:
     CH = 4  # independent chains: enough ILP to hide op latency
 
     def peak_kernel(x_ref, o_ref, *, iters, mode):
-        a = [x_ref[:] + np.float32(i) for i in range(CH)]
+        # one grid step = `iters` unrolled op groups; VMEM-resident
+        # state carries across grid steps via o_ref accumulation, so
+        # nothing is hoistable and compile cost stays O(iters)
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            o_ref[:] = x_ref[:]
+
+        a = [o_ref[:] + np.float32(i) for i in range(CH)]
         b = x_ref[:] * np.float32(0.5)
         half = np.float32(0.5)
         one = np.int32(1)
         mask = x_ref[:] > half
         for _ in range(iters):
+            # single-op chains feed PAIRS mutually: an idempotent chain
+            # like min(min(v,b),b) or where(m,where(m,v,b),b) folds
+            # algebraically (the first run "measured" select at 37
+            # Top/s -- eliminated), while mutual feeds stay live
             if mode == "add":
-                a = [v + b for v in a]
+                for c in range(0, CH, 2):
+                    a[c] = a[c] + a[c + 1]
+                    a[c + 1] = a[c + 1] + a[c]
             elif mode == "min":
-                a = [jnp.minimum(v, b) for v in a]
+                for c in range(0, CH, 2):
+                    a[c] = jnp.minimum(a[c], a[c + 1])
+                    a[c + 1] = jnp.minimum(a[c + 1], a[c])
             elif mode == "select":
-                a = [jnp.where(mask, v, b) for v in a]
+                for c in range(0, CH, 2):
+                    a[c] = jnp.where(mask, a[c + 1], a[c])
+                    a[c + 1] = jnp.where(mask, a[c], a[c + 1])
             elif mode == "roll":
                 a = [pltpu.roll(v, shift=one, axis=1) for v in a]
             elif mode in ("mix", "mix2"):
@@ -96,24 +161,32 @@ def main() -> None:
         k = pl.pallas_call(
             functools.partial(peak_kernel, iters=iters, mode=mode),
             out_shape=jax.ShapeDtypeStruct((B, Q), jnp.float32),
-            in_specs=[pl.BlockSpec((B, Q), lambda: (0, 0),
+            grid=(args.grid,),
+            in_specs=[pl.BlockSpec((B, Q), lambda g: (0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((B, Q), lambda: (0, 0),
+            out_specs=pl.BlockSpec((B, Q), lambda g: (0, 0),
                                    memory_space=pltpu.VMEM),
         )
         x = jnp.asarray(
             np.random.default_rng(0).random((B, Q), np.float32)
         )
-        f = jax.jit(k)
+        n_launch = 4  # chained inside one jit: amortizes link latency
+
+        @jax.jit
+        def f(x):
+            for _ in range(n_launch):
+                x = k(x) * np.float32(1e-3)  # keep values finite
+            return x
+
         float(np.asarray(f(x))[0, 0])  # compile + first-touch
-        best = np.inf
-        for _ in range(args.reps):
-            t0 = time.time()
-            float(np.asarray(f(x))[0, 0])
-            best = min(best, time.time() - t0)
+        # DEVICE time from the profiler: wall clock through the axon
+        # relay carries multi-ms jitter per call -- useless for a
+        # utilization ratio (it "measured" the add peak below the real
+        # kernel's sustained rate)
+        dt = _device_time(lambda: float(np.asarray(f(x))[0, 0]))
         ops_per_iter = {"mix": 8, "mix2": 16}.get(mode, CH)
-        gops = B * Q * iters * ops_per_iter / best / 1e9
-        return gops, best
+        gops = B * Q * iters * args.grid * ops_per_iter / dt / 1e9
+        return gops, dt
 
     print(f"(B, Q) = ({B}, {Q}), {CH} independent chains, "
           f"{args.iters} iters", flush=True)
@@ -162,12 +235,10 @@ def main() -> None:
         return q
 
     float(np.asarray(chain(qb, ypad_d, rspad_d))[0, 0])
-    best = np.inf
-    for _ in range(args.reps):
-        t0 = time.time()
-        float(np.asarray(chain(qb, ypad_d, rspad_d))[0, 0])
-        best = min(best, time.time() - t0)
-    dt = best / n_it
+    # per-launch device time of the wavefront custom-call
+    dt = _device_time(
+        lambda: float(np.asarray(chain(qb, ypad_d, rspad_d))[0, 0])
+    )
     kcells = B * Q * D / dt / 1e9
     OPS_PER_CELL = 8  # roll + 2 min + 2 select + sub + abs + add
     kops = kcells * OPS_PER_CELL
