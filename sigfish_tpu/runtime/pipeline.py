@@ -647,6 +647,11 @@ class Core:
         clipped-read sub-batches route here (their per-read window
         grids straddle ring shard boundaries), picking one-shot vs
         chunked by reference size as usual."""
+        # a force_oneshot sub-batch is by definition single-device: the
+        # chunked path's clip groups must never re-enter a mesh branch
+        # (ring -> clip sub -> chunked -> clip group -> ring recursed
+        # forever under --mesh + forced --ref-chunk; fuzz seed 52007)
+        single_device = single_device or force_oneshot
         if self.engine == "native" and self.mesh is None:
             return self._native_candidates_submit(qb, qlens, n_live)
         if (

@@ -187,7 +187,11 @@ def test_bigref_ring_chunked_matches_single_device(tmp_path):
     with Slow5Writer(str(bl), header_data=None) as w:
         for i in range(8):
             start = int(rng.integers(0, n_bases - 800))
-            n_ev = 200 if i % 4 == 3 else 450  # every 4th read clipped
+            # every 4th read TRULY clipped at q=64 (qlen < W needs
+            # events < prefix+query = 114): exercises the ring clip
+            # sub-batch -> single-device chunked -> one-shot chain
+            # (the recursion fuzz seed 52007 found lived there)
+            n_ev = 90 if i % 4 == 3 else 450
             w.write_record(Slow5Record(
                 read_id=f"r{i}", read_group=0, digitisation=8192.0,
                 offset=10.0, range=1400.0, sampling_rate=4000.0,
