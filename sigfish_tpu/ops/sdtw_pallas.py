@@ -62,6 +62,24 @@ PAD = 1.0e18
 # host-bound; every consumer derives its alignment from this constant,
 # so the override stays self-consistent).
 WF_TD = int(__import__("os").environ.get("SIGFISH_TPU_WF_TD", "256"))
+_TD_PINNED = "SIGFISH_TPU_WF_TD" in __import__("os").environ
+
+
+def effective_td(q_pad: int) -> int:
+    """Tile width the pipeline should run a Q-wide kernel at.
+
+    The fully-unrolled tile body's Mosaic compile cost scales
+    superlinearly in td AND with Q's vreg count: measured cold on v5e
+    (scripts/bench_kernel.py, 2026-08-20) Q=256 td=128/256 compile
+    52/136 s for 216/235 Gcell/s, Q=512 td=128/256 compile 93/935 s(!)
+    for 302/308 Gcell/s. At wide Q the +2% rate cannot justify a
+    ~15-minute cold compile on every fresh host, so unless the
+    operator pinned SIGFISH_TPU_WF_TD the pipeline drops wide-query
+    kernels to td=128. (td < 128 is impossible: the reference-window
+    SMEM blocks need a 128-divisible minor dim.)"""
+    if _TD_PINNED:
+        return WF_TD
+    return 128 if q_pad >= 384 else WF_TD
 
 # Literals inside the kernel body must carry explicit 32-bit dtypes:
 # under jax_enable_x64 (the --host-stages device mode) plain Python

@@ -59,6 +59,7 @@ from ..ops.candidates_dev import (
 from ..ops.events import DNA_PARAMS, RNA_PARAMS, get_events, get_events_prefix
 from ..ops.sdtw import make_query_batch, pad_tracks, sdtw_scan
 from ..ops.sdtw_pallas import (
+    effective_td,
     prepare_wavefront_inputs,
     sdtw_wavefront,
     shift_queries_for_clip,
@@ -255,6 +256,10 @@ class Core:
         # no Mosaic compile
         self.wf_interpret = self.use_pallas and jax.default_backend() != "tpu"
         self.pad_q = max(128, ((opt.query_size + 127) // 128) * 128)
+        # tile width for every wavefront launch this Core makes:
+        # wide-query kernels drop to td=128 (effective_td -- the
+        # Q=512 td=256 cold compile measured 935 s for +1.8% rate)
+        self.wf_td = effective_td(self.pad_q)
         self._wf_cache: dict[int, tuple] = {}
         self._wf_chunk_cache: dict[tuple, tuple] = {}
 
@@ -288,7 +293,7 @@ class Core:
                     # chunks (sdtw_pallas: D % td == 0): segment widths
                     # must also be WF_TD-aligned or an odd --ckpt/-q
                     # combo trips the kernel's assert at trace time
-                    from ..ops.sdtw_pallas import WF_TD as _wftd
+                    _wftd = self.wf_td
                     unit = unit * _wftd // _math.gcd(unit, _wftd)
                 # + pad_q: the wavefront ring needs >= lane (= W-1) PAD
                 # diagonals after the last real column to flush its
@@ -369,7 +374,10 @@ class Core:
                     yps, rps = [], []
                     D = 0
                     for s in range(n_tp):
-                        yp, rp, d = _pwf(sref[s], sreset[s], self.pad_q)
+                        yp, rp, d = _pwf(
+                            sref[s], sreset[s], self.pad_q,
+                            td=self.wf_td,
+                        )
                         yps.append(yp[0])
                         rps.append(rp[0])
                         D = max(D, d)
@@ -493,12 +501,12 @@ class Core:
             if self.ref_cat.shape[0] + Q > CHUNK_AUTO_COLS:
                 return self._native_std_corners(qb, qlens)
             ypad_h, rspad_h, D = prepare_wavefront_inputs(
-                self.ref_cat, self.reset, Q
+                self.ref_cat, self.reset, Q, td=self.wf_td
             )
             qb_k, fs = shift_queries_for_clip(qb, qlens, W - 1)
             ds = sdtw_wavefront(
                 jnp.asarray(qb_k), jnp.asarray(ypad_h),
-                jnp.asarray(rspad_h), lane=W - 1,
+                jnp.asarray(rspad_h), lane=W - 1, td=self.wf_td,
                 start_lanes=jnp.asarray(fs), std=True,
                 interpret=self.wf_interpret,
             )
@@ -626,8 +634,12 @@ class Core:
 
     # max device batch rows per kernel launch: B=512 x Q<=512 fits the
     # 16 MB scoped-VMEM budget of the wavefront kernel; larger -K loads
-    # are split into sub-launches
-    DEVICE_CHUNK = 512
+    # are split into sub-launches. B=1024 measured +17% kernel rate at
+    # Q=256 (per-step overheads amortize over sublanes, DESIGN §1) and
+    # still fits VMEM, but doubles the cold Mosaic compile -- and both
+    # chemistries are host-bound e2e, so the default stays 512; tune
+    # via SIGFISH_TPU_DEVICE_CHUNK on kernel-bound deployments.
+    DEVICE_CHUNK = int(os.environ.get("SIGFISH_TPU_DEVICE_CHUNK", "512"))
 
     def sdtw_candidates_submit(
         self, qb: np.ndarray, qlens: np.ndarray, onehot: np.ndarray,
@@ -676,7 +688,7 @@ class Core:
                     self.ring_vdiag_dev,
                     self.mesh, n_micro=n_micro, lane=W - 1, W=W,
                     Rs=self.shard_Rs, n_sub=self.ring_n_sub,
-                    interpret=self.wf_interpret,
+                    td=self.wf_td, interpret=self.wf_interpret,
                 )
             else:
                 out = ring_topk_scan(
@@ -752,7 +764,8 @@ class Core:
                 self.shard_ypad_dev, self.shard_rspad_dev,
                 self.u_sh_dev, self.valid_sh_dev,
                 self.mesh, Rs=self.shard_Rs, lane=W - 1,
-                ckpt=self.opt.ckpt, use_pallas=self.use_pallas,
+                ckpt=self.opt.ckpt, td=self.wf_td,
+                use_pallas=self.use_pallas,
                 clip_shift=self.use_pallas, interpret=self.wf_interpret,
             )
             _start_host_copy(out)
@@ -767,7 +780,7 @@ class Core:
             Q = qb.shape[1]
             if Q not in self._wf_cache:
                 ypad_h, rspad_h, D = prepare_wavefront_inputs(
-                    self.ref_cat, self.reset, Q
+                    self.ref_cat, self.reset, Q, td=self.wf_td
                 )
                 # device-resident FOR THE LIFE OF THE CORE: re-uploading
                 # the (1, D) pads per call is invisible for small refs
@@ -802,6 +815,7 @@ class Core:
                 jnp.asarray(ypad),
                 jnp.asarray(rspad),
                 lane=W - 1,
+                td=self.wf_td,
                 start_lanes=None if fs_lanes is None else jnp.asarray(fs_lanes),
                 interpret=self.wf_interpret,
             )
@@ -868,10 +882,9 @@ class Core:
             prepare_chunked_inputs,
             sdtw_wavefront_chunked_top5,
         )
-        from ..ops.sdtw_pallas import WF_TD
-
         W = self.opt.query_size
         B, Q = qb.shape
+        WF_TD = self.wf_td
         clip_host = None
         clip_dev = None
         if clip_rows.size:
@@ -927,7 +940,8 @@ class Core:
         if key not in self._wf_chunk_cache:
             target = self.opt.ref_chunk if self.opt.ref_chunk > 0 else 32768
             yps, rps, vs, _, nwin_tot = prepare_chunked_inputs(
-                self.ref_cat, self.reset, self.valid_host, Q, W, target=target
+                self.ref_cat, self.reset, self.valid_host, Q, W,
+                td=self.wf_td, target=target,
             )
             self._wf_chunk_cache[key] = (
                 jnp.asarray(yps), jnp.asarray(rps), jnp.asarray(vs), nwin_tot
@@ -935,7 +949,8 @@ class Core:
         yps, rps, vs, nwin_tot = self._wf_chunk_cache[key]
         packed = sdtw_wavefront_chunked_top5(
             jnp.asarray(qb), yps, rps, vs,
-            lane=W - 1, W=W, nwin_tot=nwin_tot, interpret=self.wf_interpret,
+            lane=W - 1, W=W, nwin_tot=nwin_tot, td=self.wf_td,
+            interpret=self.wf_interpret,
         )
         _start_host_copy(packed)
         handle = dict(packed=packed, qlens=qlens, B=B, clipped_done=True)
