@@ -1111,6 +1111,9 @@ class ReadWork:
     flag_prefix_fail: bool = False
     flag_ignored: bool = False
     flag_too_short: bool = False
+    # --host-stages device: polyA end precomputed on device
+    # (ops/jnn_device.py); None = not computed, -1 = computed + failed
+    device_py: int | None = None
 
 
 def _parse_single(core: Core, blob: bytes) -> ReadWork:
@@ -1438,8 +1441,24 @@ def _event_batch_device(core: Core, works: list[ReadWork]) -> None:
             off[r] = rec.offset
             rng_pa[r] = rec.range
         tables, _ = detect_events_batch(sig, ns, digi, off, rng_pa, core.opt.rna)
+        pys = None
+        if (
+            core.opt.rna
+            and core.opt.prefix_size < 0
+            and not core.opt.from_end
+        ):
+            # device polyA autodetect (ops/jnn_device.py): the last
+            # host-bound stage of this mode -- the (B, S) signals are
+            # already assembled, only (B,) indices come back
+            from ..ops.jnn_device import polya_end_batch
+
+            pys = polya_end_batch(
+                sig, ns, digi, off, rng_pa, core.opt.pore_flag
+            )
         for r, i in enumerate(chunk):
             w = works[i]
+            if pys is not None:
+                w.device_py = int(pys[r])
             et = tables[r]
             if et is None:  # device event-cap overflow: exact host fallback
                 _event_single(core, w)
@@ -1562,13 +1581,17 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
             works = _map(lambda w: _event_single(core, w), works)
         core.event_time += _time.time() - t0
         t0 = _time.time()
-        works = _map(lambda w: _normalise_single(core, w), works)
+        works = _map(
+            lambda w: _normalise_single(core, w, py=w.device_py), works
+        )
         core.normalise_time += _time.time() - t0
         dtw_t0 = _time.time()
     elif opt.host_stages == "device":
         works = _map(lambda b: _parse_single(core, b), blobs)
         _event_batch_device(core, works)
-        works = _map(lambda w: _normalise_single(core, w), works)
+        works = _map(
+            lambda w: _normalise_single(core, w, py=w.device_py), works
+        )
         dtw_t0 = _time.time()
     else:
         works = _map(lambda b: _prepare_read(core, b), blobs)
@@ -1592,6 +1615,15 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
     while bucket < nb:
         bucket *= 2
     bucket = min(bucket, max(64, opt.batch_size))
+    if core.use_pallas and not core.wf_interpret and nb > 64:
+        # on the real TPU a tail batch must ride an ALREADY-COMPILED
+        # shape: a fresh bucket (e.g. 224 live reads -> 256 when every
+        # full batch ran at 512) triggers a full Mosaic recompile --
+        # 13+ s to save ~30 ms of dummy-row compute. Measured: a
+        # 12k-read pass read 660 r/s instead of ~3,300 because its
+        # last batch alone took 13.3 s. Tiny runs (nb <= 64) keep the
+        # small bucket -- they only ever compile one shape anyway.
+        bucket = max(bucket, min(512, max(64, opt.batch_size)))
     while len(queries) < bucket:
         # dummy slots carry a full-width zero query so they ride the
         # uniform device candidate path (their results are never read)
