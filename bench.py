@@ -415,6 +415,8 @@ def main() -> None:
                 STATE["dna_steady_vs_baseline"] = round(
                     steady / BASELINE_READS_PER_S, 2
                 )
+            except Exception as e:  # optional leg: never sink the bench
+                print(f"steady leg failed: {e!r}", file=sys.stderr)
             finally:
                 if os.path.exists(tmp_steady):
                     os.unlink(tmp_steady)

@@ -27,8 +27,14 @@ ops/jnn.py are fuzz-validated against the C binary):
 Every stage is a lax.scan over samples with (B,) state lanes (the
 pattern proven by ops/events_device.py), all f32 -- no x64 scoping
 needed, so unlike the eventizer's f64-emulation caveat this pass is
-bit-exact wherever f32 ops are IEEE (CPU backend asserted in tests;
-the TPU leg is additionally byte-compared by scripts/test_tpu.sh).
+deterministic wherever f32 ops are IEEE (CPU backend asserted in
+tests; the TPU leg is additionally byte-compared by
+scripts/test_tpu.sh). One precision nuance: the polyA band compare
+follows the C reference's f32 op order, while the HOST path carries
+the band in f64 (its own documented, fuzz-validated deviation from
+the C binary) -- the two can in principle split a sample that lands
+within 1 ulp of the band edge; no such read exists in any test or
+fuzz corpus, and the C order is the normative one.
 
 Returns per-read polyA END sample indices (-1 = autodetect failed, the
 reference's prefix_fail path, sigfish.c:440-447); the pipeline feeds
@@ -52,7 +58,6 @@ from .jnn import (
     PORE_RNA004,
 )
 
-_F1 = np.float32(1.0)
 _I1 = np.int32(1)
 
 
@@ -188,8 +193,16 @@ def _polya_end_jit(
     m_a, _ = _seq_mean_std(
         pa_t, in_ad & adaptor_ok[None, :], jnp.maximum(ay - ax, 1), False
     )
-    top = m_a + np.float32(50.0)   # m_a + 30 + 20 (exact in f64 = one add)
-    botp = m_a + np.float32(10.0)  # m_a + 30 - 20
+    # the polyA band in the C REFERENCE's own f32 op order
+    # (sigfish.c:396: fl32(fl32(m_a+30)+20) / fl32(fl32(m_a+30)-20),
+    # compared against f32 samples). The HOST path deviates here by
+    # design: it carries the band in f64 and the native jnn_core
+    # compares doubles (documented near-tie deviation, fuzz-validated
+    # byte-identical vs the C binary across every campaign) -- the
+    # device follows the C order, the strictest of the three.
+    m30 = m_a + np.float32(30.0)
+    top = m30 + np.float32(20.0)
+    botp = m30 - np.float32(20.0)
 
     # ---- P5: jnn_core FSM over the clamped pA tail (jnn.c:191-279),
     # tracking segs[0] only (merges only ever extend the LAST segment,
@@ -201,7 +214,9 @@ def _polya_end_jit(
     wst = np.float32(v1.window * v1.stall_len)
 
     def core_step(st, kv):
-        (prev, err, perr, c, w, start, have_any, s0s, s0e, have0,
+        # have_l doubles as the reference's `seg_i > 0` (a merge
+        # requires an existing segment, so any close implies >= 1 seg)
+        (prev, err, perr, c, w, start, s0s, s0e, have0,
          last0, l_s, l_e, have_l) = st
         k, a = kv
         i_rel = k - ay
@@ -210,7 +225,7 @@ def _polya_end_jit(
         outr = active & ~in_r
 
         nB = outr & prev & (err < err1)
-        size_ok = (c.astype(jnp.float32) >= wst) & ~have_any
+        size_ok = (c.astype(jnp.float32) >= wst) & ~have_l
         nC = outr & prev & ~(err < err1) & ((c >= win1) | size_ok)
         nD = outr & prev & ~(err < err1) & ~((c >= win1) | size_ok)
 
@@ -237,7 +252,6 @@ def _polya_end_jit(
         l_s2 = jnp.where(new, start, l_s)
         l_e3 = jnp.where(new, end, l_e2)
         have_l2 = have_l | nC
-        have_any2 = have_any | nC
 
         reset = nC | nD
         prev2 = jnp.where(in_r, True, jnp.where(reset, False, prev))
@@ -245,15 +259,15 @@ def _polya_end_jit(
         err3 = jnp.where(reset, zi, err2)
         perr3 = jnp.where(reset, zi, perr2)
         return (
-            prev2, err3, perr3, c3, w2, start, have_any2,
+            prev2, err3, perr3, c3, w2, start,
             s0s2, s0e3, have0_2, last0_2, l_s2, l_e3, have_l2,
         ), None
 
-    st0 = (zb, zi, zi, zi, jnp.full(B, corr, jnp.int32), zi, zb,
+    st0 = (zb, zi, zi, zi, jnp.full(B, corr, jnp.int32), zi,
            zi, zi, zb, zb, zi, zi, zb)
     st, _ = jax.lax.scan(core_step, st0, (idx, pa_cl), unroll=4)
-    s0e = st[8]
-    have0 = st[9]
+    s0e = st[7]
+    have0 = st[8]
     polya_ok = adaptor_ok & have0 & (s0e > 0)  # py <= 0 -> fail
     return jnp.where(polya_ok, s0e + ay, np.int32(-1))
 

@@ -500,13 +500,24 @@ class Core:
             Q = qb.shape[1]
             if self.ref_cat.shape[0] + Q > CHUNK_AUTO_COLS:
                 return self._native_std_corners(qb, qlens)
-            ypad_h, rspad_h, D = prepare_wavefront_inputs(
-                self.ref_cat, self.reset, Q, td=self.wf_td
-            )
+            # the per-Q pad cache serves std too (same layout; Q is
+            # pad_q on every production call) -- rebuilding/re-uploading
+            # the (1, D) pads per batch costs ~2 s over the remote link
+            # at large D
+            if Q not in self._wf_cache:
+                ypad_h, rspad_h, D = prepare_wavefront_inputs(
+                    self.ref_cat, self.reset, Q, td=self.wf_td
+                )
+                if len(self._wf_cache) >= 2:
+                    self._wf_cache.pop(next(iter(self._wf_cache)))
+                self._wf_cache[Q] = (
+                    jnp.asarray(ypad_h), jnp.asarray(rspad_h), D
+                )
+            ypad_d, rspad_d, D = self._wf_cache[Q]
             qb_k, fs = shift_queries_for_clip(qb, qlens, W - 1)
             ds = sdtw_wavefront(
-                jnp.asarray(qb_k), jnp.asarray(ypad_h),
-                jnp.asarray(rspad_h), lane=W - 1, td=self.wf_td,
+                jnp.asarray(qb_k), ypad_d, rspad_d,
+                lane=W - 1, td=self.wf_td,
                 start_lanes=jnp.asarray(fs), std=True,
                 interpret=self.wf_interpret,
             )
@@ -562,9 +573,16 @@ class Core:
                 tp[rows] = cp
             return ts, tp
         B = handle["B"]
-        # one packed (B, 2k) f32 fetch: device->host round-trip latency
-        # dominates per-batch cost, so scores+positions ride one buffer
-        ts, tp = unpack_top5(np.asarray(handle["packed"][:B]))
+        if handle.get("packed") is None:
+            # clip-only submission (every live row clipped): no main
+            # pass ran; the clip entries below fill every real row
+            ts = np.full((B, 5), np.float32(3.0e38), np.float32)
+            tp = np.full((B, 5), -1, np.int32)
+        else:
+            # one packed (B, 2k) f32 fetch: device->host round-trip
+            # latency dominates per-batch cost, so scores+positions
+            # ride one buffer
+            ts, tp = unpack_top5(np.asarray(handle["packed"][:B]))
         if "clip_packed" in handle:
             cs, cp = unpack_top5(np.asarray(handle["clip_packed"]))
             rows = handle["clip_rows"]
@@ -714,7 +732,10 @@ class Core:
                 qb_c[: clip_rows.size] = qb[clip_rows]
                 oh_c = np.zeros((bc, Q), np.float32)
                 oh_c[: clip_rows.size] = onehot[clip_rows]
-                qlens_c = np.full(bc, max(W, 1), dtype=qlens.dtype)
+                # pad rows carry qlen 0 (not W): the chunked route can
+                # then see "every live row is clipped" and skip its
+                # uniform-window main sweep outright
+                qlens_c = np.zeros(bc, dtype=qlens.dtype)
                 qlens_c[: clip_rows.size] = qlens[clip_rows]
                 sub = self.sdtw_candidates_submit(
                     qb_c, qlens_c, oh_c, single_device=True
@@ -724,11 +745,16 @@ class Core:
                 ]
             return handle
         B = qb.shape[0]
-        if self.mesh is None and B > self.DEVICE_CHUNK:
+        # the split applies to single_device sub-batches too (ring clip
+        # sub-batches with mesh set would otherwise launch an un-split
+        # B > DEVICE_CHUNK kernel past the scoped-VMEM budget)
+        if (self.mesh is None or single_device) and B > self.DEVICE_CHUNK:
             C = self.DEVICE_CHUNK
             parts = [
                 self.sdtw_candidates_submit(
-                    qb[o : o + C], qlens[o : o + C], onehot[o : o + C]
+                    qb[o : o + C], qlens[o : o + C], onehot[o : o + C],
+                    force_oneshot=force_oneshot,
+                    single_device=single_device,
                 )
                 for o in range(0, B, C)
             ]
@@ -936,6 +962,22 @@ class Core:
                     ]
                 else:
                     clip_host = [self._clipped_top5(q) for q in queries]
+        if clip_rows.size and clip_rows.size == int(
+            np.count_nonzero(qlens > 0)
+        ):
+            # EVERY live row is clipped (the ring mesh's clip sub-batch
+            # arrives exactly like this): the uniform-window main fold's
+            # results would be overwritten row for row at collect --
+            # skip the whole chunked sweep; the clip entries below
+            # serve every real row (packed=None tells collect to start
+            # from an empty base)
+            handle = dict(packed=None, qlens=qlens, B=B, clipped_done=True)
+            handle["clip_rows"] = clip_rows
+            if clip_dev is not None:
+                handle["clip_dev"] = clip_dev
+            else:
+                handle["clip_host"] = clip_host
+            return handle
         key = (Q, self.opt.ref_chunk)
         if key not in self._wf_chunk_cache:
             target = self.opt.ref_chunk if self.opt.ref_chunk > 0 else 32768
@@ -1623,7 +1665,16 @@ def submit_batch(core: Core, blobs: list[bytes]) -> PendingBatch:
         # 12k-read pass read 660 r/s instead of ~3,300 because its
         # last batch alone took 13.3 s. Tiny runs (nb <= 64) keep the
         # small bucket -- they only ever compile one shape anyway.
-        bucket = max(bucket, min(512, max(64, opt.batch_size)))
+        # The floor is the shape full batches actually compiled: their
+        # bucket, capped at DEVICE_CHUNK off-mesh (larger launches
+        # split to DEVICE_CHUNK-row sub-launches).
+        full_bucket = 64
+        while full_bucket < opt.batch_size:
+            full_bucket *= 2
+        full_bucket = min(full_bucket, max(64, opt.batch_size))
+        if core.mesh is None:
+            full_bucket = min(full_bucket, core.DEVICE_CHUNK)
+        bucket = max(bucket, full_bucket)
     while len(queries) < bucket:
         # dummy slots carry a full-width zero query so they ride the
         # uniform device candidate path (their results are never read)
